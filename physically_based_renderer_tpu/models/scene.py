@@ -1,0 +1,137 @@
+"""Scene pytrees: instanced draws, flattening to rasterizer inputs.
+
+TPU-native replacement for the reference's RenderItem / render-layer
+orchestration (``PBRApp.cpp:28-59, 976-1094``). A scene is a pytree of
+batched arrays: each :class:`InstancedDraw` shares one geometry across I
+instances with per-instance world matrices and material ids (the RenderItem
+analog, but batched so instance vertex transform is one einsum on the MXU).
+Render layers disappear: the shading kernel is uniform over material classes
+via texture-presence masks, and draw order is irrelevant under depth testing
+(transparency, when used, is handled by the renderer's blend pass).
+
+All fields are differentiable inputs — world matrices, material properties,
+texture atlas, lights, env map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.brdf import Lights
+from ..ops.texture import TextureAtlas
+from .material import MaterialBank
+from .mesh import Mesh
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InstancedDraw:
+    """One shared mesh drawn I times (the batched RenderItem)."""
+
+    mesh: Mesh
+    worlds: jnp.ndarray  # (I, 4, 4) row-vector world matrices
+    material_ids: jnp.ndarray  # (I,) int32
+
+    @property
+    def num_instances(self) -> int:
+        return self.worlds.shape[0]
+
+    @staticmethod
+    def create(mesh: Mesh, worlds, material_ids) -> "InstancedDraw":
+        worlds = jnp.asarray(worlds, jnp.float32)
+        if worlds.ndim == 2:
+            worlds = worlds[None]
+        return InstancedDraw(
+            mesh=mesh,
+            worlds=worlds,
+            material_ids=jnp.atleast_1d(jnp.asarray(material_ids, jnp.int32)),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    draws: tuple[InstancedDraw, ...]
+    materials: MaterialBank
+    atlas: TextureAtlas | None
+    lights: Lights
+    ambient: jnp.ndarray  # (3,) — g_AmbientLight.rgb (0.03 in the default scene)
+    env_map: jnp.ndarray | None = None  # (He, We, 3) equirect HDR sky
+    clear_color: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    )  # PBRApp.cpp:274
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FlatGeometry:
+    """World-space triangle soup, ready for the rasterizer. Static shapes
+    derived from the scene structure at trace time."""
+
+    pos_w: jnp.ndarray  # (V, 3)
+    normal_w: jnp.ndarray  # (V, 3)
+    tangent_w: jnp.ndarray  # (V, 3)
+    bitangent_w: jnp.ndarray  # (V, 3)
+    uv: jnp.ndarray  # (V, 2)
+    tris: jnp.ndarray  # (T, 3) int32
+    face_material: jnp.ndarray  # (T,) int32
+
+
+def flatten_scene(scene: Scene) -> FlatGeometry:
+    """Instance-expand every draw into world space.
+
+    The per-instance vertex transform is the VS world stage
+    (``Default.hlsl:27-35``): positions through the full 4x4, direction
+    attributes through the 3x3 (no inverse-transpose — parity with the
+    reference's uniform-scale assumption). Batched as einsums → MXU."""
+    pos_parts, nrm_parts, tan_parts, bit_parts, uv_parts = [], [], [], [], []
+    tri_parts, mat_parts = [], []
+    v_offset = 0
+    for draw in scene.draws:
+        m = draw.mesh
+        w = draw.worlds  # (I,4,4)
+        num_i = w.shape[0]
+        nv = m.num_vertices
+
+        rot = w[:, :3, :3]  # (I,3,3)
+        trans = w[:, 3, :3]  # (I,3)
+        pos = jnp.einsum("vc,icd->ivd", m.positions, rot) + trans[:, None, :]
+        nrm = jnp.einsum("vc,icd->ivd", m.normals, rot)
+        tan = jnp.einsum("vc,icd->ivd", m.tangents, rot)
+        bit = jnp.einsum("vc,icd->ivd", m.bitangents, rot)
+        uv = jnp.broadcast_to(m.uvs[None], (num_i, nv, 2))
+
+        pos_parts.append(pos.reshape(-1, 3))
+        nrm_parts.append(nrm.reshape(-1, 3))
+        tan_parts.append(tan.reshape(-1, 3))
+        bit_parts.append(bit.reshape(-1, 3))
+        uv_parts.append(uv.reshape(-1, 2))
+
+        inst_off = v_offset + jnp.arange(num_i, dtype=jnp.int32) * nv  # (I,)
+        tris = m.tris[None, :, :] + inst_off[:, None, None]  # (I,T,3)
+        tri_parts.append(tris.reshape(-1, 3))
+        mat_parts.append(
+            jnp.broadcast_to(draw.material_ids[:, None], (num_i, m.num_triangles)).reshape(-1)
+        )
+        v_offset += num_i * nv
+
+    return FlatGeometry(
+        pos_w=jnp.concatenate(pos_parts),
+        normal_w=jnp.concatenate(nrm_parts),
+        tangent_w=jnp.concatenate(tan_parts),
+        bitangent_w=jnp.concatenate(bit_parts),
+        uv=jnp.concatenate(uv_parts),
+        tris=jnp.concatenate(tri_parts),
+        face_material=jnp.concatenate(mat_parts),
+    )
+
+
+def translation_world(x, y, z) -> np.ndarray:
+    """Row-vector translation matrix (host-side convenience)."""
+    m = np.eye(4, dtype=np.float32)
+    m[3, :3] = (x, y, z)
+    return m

@@ -1,0 +1,397 @@
+"""Tile-based triangle rasterizer in pure JAX (XLA), forward hard-visibility.
+
+This is the TPU-native replacement for the D3D12 hardware rasterizer stage
+that sits between ``Default.hlsl`` VS and PS (reference draw path:
+``PBRApp.cpp:1096-1135`` → GPU IA/RS). Design:
+
+  * The screen is cut into VPU-aligned tiles (default 32×128 pixels).
+  * For every tile we ``lax.scan`` over fixed-size triangle blocks, evaluating
+    all 3 edge functions for (pixels × triangles) as one fused broadcast —
+    static shapes, no data-dependent control flow, so XLA tiles it onto the
+    vector unit. A running (depth, triangle-id) argmin implements the depth
+    test (D3D default: depth func LESS, first-drawn wins ties).
+  * Output is only the winning triangle id per pixel; barycentrics and
+    attributes are *recomputed differentiably* in :func:`interpolate`, so
+    ``jax.grad`` flows to vertex positions through the interpolation math
+    (nvdiffrast-style "shading gradients"; soft-visibility gradients live in
+    ``raster_soft.py``).
+
+Conventions (parity with the reference pipeline):
+  * clip = [x,y,z,w] from row-vector ``posW @ ViewProj``; NDC z ∈ [0,1].
+  * pixel x = (ndc.x+1)/2·W, pixel y = (1−ndc.y)/2·H (y down), centers +0.5.
+  * Front faces are clockwise (D3D12 default FrontCounterClockwise=FALSE);
+    with y-down pixel coords these have positive signed area.
+  * Near-plane clipping is per-pixel (z≥0 test); triangles with any vertex
+    w ≤ eps are rejected whole (no polygon clipping — matches typical
+    soft-raster practice; scenes keep geometry in front of the camera).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+W_EPS = 1e-6
+BACKGROUND = jnp.int32(-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ScreenTris:
+    """Per-triangle screen-space setup (all (T,…) arrays)."""
+
+    xy: jnp.ndarray  # (T, 3, 2) pixel coords of the 3 corners
+    z: jnp.ndarray  # (T, 3) NDC depth in [0,1]
+    inv_w: jnp.ndarray  # (T, 3) 1/w for perspective-correct interpolation
+    area: jnp.ndarray  # (T,) signed area ×2 (positive = front/CW)
+    valid: jnp.ndarray  # (T,) bool — in-front, non-degenerate, not culled
+
+
+def project_to_screen(verts_clip: jnp.ndarray, width: int, height: int):
+    """Clip-space verts (V,4) → pixel-space (V,2), depth (V,), 1/w (V,)."""
+    w = verts_clip[:, 3]
+    inv_w = jnp.where(jnp.abs(w) > W_EPS, 1.0 / w, 0.0)
+    ndc = verts_clip[:, :3] * inv_w[:, None]
+    px = (ndc[:, 0] + 1.0) * (0.5 * width)
+    py = (1.0 - ndc[:, 1]) * (0.5 * height)
+    return jnp.stack([px, py], axis=-1), ndc[:, 2], inv_w
+
+
+def setup_triangles(
+    verts_clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_backface: bool = True,
+    tri_mask: jnp.ndarray | None = None,
+) -> ScreenTris:
+    """Gather per-triangle corner data and compute validity/culling."""
+    xy_all, z_all, invw_all = project_to_screen(verts_clip, width, height)
+    w_all = verts_clip[:, 3]
+
+    xy = xy_all[tris]  # (T,3,2)
+    z = z_all[tris]  # (T,3)
+    inv_w = invw_all[tris]
+    w = w_all[tris]
+
+    e01 = xy[:, 1] - xy[:, 0]
+    e02 = xy[:, 2] - xy[:, 0]
+    area = e01[:, 0] * e02[:, 1] - e01[:, 1] * e02[:, 0]
+
+    in_front = jnp.all(w > W_EPS, axis=-1)
+    if cull_backface:
+        facing = area > 1e-12
+    else:
+        facing = jnp.abs(area) > 1e-12
+    valid = in_front & facing
+    if tri_mask is not None:
+        valid = valid & tri_mask
+    return ScreenTris(xy=xy, z=z, inv_w=inv_w, area=area, valid=valid)
+
+
+def _edge_coeffs(st: ScreenTris):
+    """Edge-function coefficients in a vertex-relative frame:
+    e_i(p) = A_i·(px−x0) + B_i·(py−y0) + C0_i, where e_i is the edge
+    *opposite* corner i (so bary_i = e_i / |area|) and (x0, y0) is corner 0.
+
+    The relative form is crucial for fp32: the classic global constant
+    x_j·y_k − x_k·y_j cancels catastrophically at screen coordinates ~10³
+    (products ~10⁶ vs edge values ~10⁰), which punches speckle holes through
+    thin silhouette triangles. All terms here are coordinate differences.
+    Returns (a, b, c0, x0, y0)."""
+    x, y = st.xy[..., 0], st.xy[..., 1]  # (T,3)
+    # edge opposite vertex 0 runs 1→2, opposite 1 runs 2→0, opposite 2 runs 0→1
+    j = jnp.asarray([1, 2, 0])
+    k = jnp.asarray([2, 0, 1])
+    a = y[:, j] - y[:, k]
+    b = x[:, k] - x[:, j]
+    # c0_i = e_i(v0) = (x_k−x_j)(y_0−y_j) − (y_k−y_j)(x_0−x_j)
+    c0 = (x[:, k] - x[:, j]) * (y[:, 0:1] - y[:, j]) - (y[:, k] - y[:, j]) * (
+        x[:, 0:1] - x[:, j]
+    )
+    # Orient so that inside ⇒ e_i ≥ 0 regardless of winding sign:
+    s = jnp.sign(st.area)[:, None]
+    return a * s, b * s, c0 * s, x[:, 0], y[:, 0]
+
+
+def _tile_pixel_centers(ty, tx, tile_h, tile_w, y_offset):
+    py = (
+        y_offset + ty * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    ).astype(jnp.float32) + 0.5
+    px = (tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)).astype(
+        jnp.float32
+    ) + 0.5
+    return px, py
+
+
+def _pad_tris(a: jnp.ndarray, block: int, fill=0):
+    t = a.shape[0]
+    pad = (-t) % block
+    if pad == 0:
+        return a
+    pad_width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad_width, constant_values=fill)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "rows",
+        "tile_h",
+        "tile_w",
+        "tri_block",
+        "cull_backface",
+    ),
+)
+def rasterize(
+    verts_clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    rows: int | None = None,
+    y_offset: jnp.ndarray | int = 0,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    tri_block: int = 128,
+    cull_backface: bool = True,
+    tri_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Hard rasterization → winning triangle id per pixel, (rows, W) int32,
+    BACKGROUND (-1) where nothing was drawn. Depth test: LESS, z ∈ [0,1].
+
+    ``width``/``height`` define the full viewport (the projection); the
+    output covers global pixel rows [y_offset, y_offset+rows) — the band API
+    that screen-tile sharding uses to give each chip its slice of the frame.
+    ``y_offset`` may be traced (e.g. derived from ``lax.axis_index``).
+    Non-tile-multiple bands are padded up to the tile grid and cropped."""
+    if rows is None:
+        rows = height
+    pad_h = (-rows) % tile_h
+    pad_w = (-width) % tile_w
+    st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+    rows_p, width_p = rows + pad_h, width + pad_w
+    y_offset = jnp.asarray(y_offset, jnp.float32)
+    ea, eb, ec, ex0, ey0 = _edge_coeffs(st)
+
+    num_t = st.xy.shape[0]
+    nblocks = -(-num_t // tri_block)
+
+    # Pack per-triangle data, padded to block multiple. Padded tris invalid.
+    ea_p = _pad_tris(ea, tri_block)
+    eb_p = _pad_tris(eb, tri_block)
+    ec_p = _pad_tris(ec, tri_block)
+    ex0_p = _pad_tris(ex0, tri_block)
+    ey0_p = _pad_tris(ey0, tri_block)
+    z_p = _pad_tris(st.z, tri_block)
+    area_p = _pad_tris(st.area, tri_block, fill=1.0)
+    valid_p = _pad_tris(st.valid, tri_block, fill=False)
+
+    # Per-triangle screen bbox for block-level tile rejection.
+    x_min = jnp.min(st.xy[..., 0], axis=-1)
+    x_max = jnp.max(st.xy[..., 0], axis=-1)
+    y_min = jnp.min(st.xy[..., 1], axis=-1)
+    y_max = jnp.max(st.xy[..., 1], axis=-1)
+    big = jnp.float32(1e30)
+    x_min = _pad_tris(jnp.where(st.valid, x_min, big), tri_block, fill=big)
+    y_min = _pad_tris(jnp.where(st.valid, y_min, big), tri_block, fill=big)
+    x_max = _pad_tris(jnp.where(st.valid, x_max, -big), tri_block, fill=-big)
+    y_max = _pad_tris(jnp.where(st.valid, y_max, -big), tri_block, fill=-big)
+    # Block-level bbox (min over block of mins, etc.)
+    bx0 = jnp.min(x_min.reshape(nblocks, tri_block), axis=1)
+    bx1 = jnp.max(x_max.reshape(nblocks, tri_block), axis=1)
+    by0 = jnp.min(y_min.reshape(nblocks, tri_block), axis=1)
+    by1 = jnp.max(y_max.reshape(nblocks, tri_block), axis=1)
+
+    shape_b = (nblocks, tri_block)
+    ea_b = ea_p.reshape(nblocks, tri_block, 3)
+    eb_b = eb_p.reshape(nblocks, tri_block, 3)
+    ec_b = ec_p.reshape(nblocks, tri_block, 3)
+    ex0_b = ex0_p.reshape(shape_b)
+    ey0_b = ey0_p.reshape(shape_b)
+    z_b = z_p.reshape(*shape_b, 3)
+    area_b = area_p.reshape(shape_b)
+    valid_b = valid_p.reshape(shape_b)
+    tid_b = jax.lax.broadcasted_iota(jnp.int32, shape_b, 0) * tri_block + (
+        jax.lax.broadcasted_iota(jnp.int32, shape_b, 1)
+    )
+
+    tiles_y = rows_p // tile_h
+    tiles_x = width_p // tile_w
+
+    def raster_tile(tile_idx):
+        ty = tile_idx // tiles_x
+        tx = tile_idx % tiles_x
+        px, py = _tile_pixel_centers(ty, tx, tile_h, tile_w, y_offset)
+
+        tile_x0 = (tx * tile_w).astype(jnp.float32)
+        tile_y0 = y_offset + (ty * tile_h).astype(jnp.float32)
+        tile_x1 = tile_x0 + tile_w
+        tile_y1 = tile_y0 + tile_h
+
+        def block_step(carry, blk):
+            best_z, best_id = carry
+            (
+                ea_k,
+                eb_k,
+                ec_k,
+                ex0_k,
+                ey0_k,
+                z_k,
+                area_k,
+                valid_k,
+                tid_k,
+                b0x,
+                b1x,
+                b0y,
+                b1y,
+            ) = blk
+
+            overlaps = (b0x <= tile_x1) & (b1x >= tile_x0) & (b0y <= tile_y1) & (b1y >= tile_y0)
+
+            def do_block(carry):
+                best_z, best_id = carry
+                # e[p, t, i] = A[t,i]·(px−x0[t]) + B[t,i]·(py−y0[t]) + C0[t,i]
+                # (vertex-relative for fp32 stability — see _edge_coeffs)
+                e = (
+                    (px[..., None, None] - ex0_k[:, None]) * ea_k
+                    + (py[..., None, None] - ey0_k[:, None]) * eb_k
+                    + ec_k
+                )  # (th, tw, TB, 3)
+                inside = jnp.all(e >= 0.0, axis=-1) & valid_k  # (th, tw, TB)
+                # e was re-oriented by sign(area), so Σe = |area|: normalise by |area|
+                bary = e / jnp.abs(area_k)[:, None]  # (th,tw,TB,3)
+                zpix = jnp.sum(bary * z_k, axis=-1)  # (th, tw, TB)
+                ok = inside & (zpix >= 0.0) & (zpix <= 1.0)
+                zpix = jnp.where(ok, zpix, jnp.inf)
+                # Within-block depth argmin (first-drawn wins ties → argmin
+                # picks lowest index on ties, matching draw order).
+                k = jnp.argmin(zpix, axis=-1)  # (th, tw)
+                zk = jnp.take_along_axis(zpix, k[..., None], axis=-1)[..., 0]
+                idk = tid_k[k]
+                better = zk < best_z
+                return jnp.where(better, zk, best_z), jnp.where(better, idk, best_id)
+
+            new_carry = jax.lax.cond(overlaps, do_block, lambda c: c, (best_z, best_id))
+            return new_carry, None
+
+        # Fold y_offset into the init so the carry has the same varying-axis
+        # type as do_block's output under shard_map (y_offset is axis-varying
+        # when derived from lax.axis_index).
+        init = (
+            jnp.full((tile_h, tile_w), jnp.inf, jnp.float32) + 0.0 * y_offset,
+            jnp.full((tile_h, tile_w), BACKGROUND, jnp.int32)
+            + 0 * y_offset.astype(jnp.int32),
+        )
+        (best_z, best_id), _ = jax.lax.scan(
+            block_step,
+            init,
+            (ea_b, eb_b, ec_b, ex0_b, ey0_b, z_b, area_b, valid_b, tid_b, bx0, bx1, by0, by1),
+        )
+        return best_id
+
+    tile_ids = jax.lax.map(raster_tile, jnp.arange(tiles_y * tiles_x))
+    # (tiles, th, tw) → (rows_p, Wp) → crop to (rows, W)
+    full = (
+        tile_ids.reshape(tiles_y, tiles_x, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(rows_p, width_p)
+    )
+    return full[:rows, :width]
+
+
+def rasterize_brute(
+    verts_clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    cull_backface: bool = True,
+    tri_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Oracle: all pixels × all triangles in one broadcast. O(H·W·T) memory —
+    only for small test images. Must agree exactly with :func:`rasterize`."""
+    st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+    ea, eb, ec, ex0, ey0 = _edge_coeffs(st)
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+    e = (
+        (px[..., None, None] - ex0[:, None]) * ea
+        + (py[..., None, None] - ey0[:, None]) * eb
+        + ec
+    )  # (H,W,T,3)
+    inside = jnp.all(e >= 0.0, axis=-1) & st.valid
+    bary = e / jnp.abs(st.area)[:, None]
+    z = jnp.sum(bary * st.z, axis=-1)
+    ok = inside & (z >= 0.0) & (z <= 1.0)
+    z = jnp.where(ok, z, jnp.inf)
+    best = jnp.argmin(z, axis=-1).astype(jnp.int32)
+    hit = jnp.isfinite(jnp.min(z, axis=-1))
+    return jnp.where(hit, best, BACKGROUND)
+
+
+def compute_barycentrics(
+    verts_clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    tri_id: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    y_offset: jnp.ndarray | int = 0,
+):
+    """Differentiable per-pixel barycentrics for the winning triangles.
+
+    Returns (bary_persp (H,W,3), bary_screen (H,W,3), depth (H,W), mask (H,W)).
+    Gradients flow to ``verts_clip`` through the edge/area math; ``tri_id``
+    (int) contributes none, mirroring hard-visibility shading gradients.
+    """
+    xy_all, z_all, invw_all = project_to_screen(verts_clip, width, height)
+    safe_id = jnp.maximum(tri_id, 0)
+    corner = tris[safe_id]  # (H,W,3)
+    xy = xy_all[corner]  # (H,W,3,2)
+    z = z_all[corner]
+    inv_w = invw_all[corner]
+
+    py = (
+        jnp.asarray(y_offset, jnp.float32)
+        + jax.lax.broadcasted_iota(jnp.float32, tri_id.shape, 0)
+        + 0.5
+    )
+    px = jax.lax.broadcasted_iota(jnp.float32, tri_id.shape, 1) + 0.5
+    p = jnp.stack([px, py], axis=-1)  # (H,W,2)
+
+    def edge(pa, pb, pt):
+        return (pt[..., 0] - pa[..., 0]) * (pb[..., 1] - pa[..., 1]) - (
+            pt[..., 1] - pa[..., 1]
+        ) * (pb[..., 0] - pa[..., 0])
+
+    e0 = edge(xy[..., 1, :], xy[..., 2, :], p)
+    e1 = edge(xy[..., 2, :], xy[..., 0, :], p)
+    e2 = edge(xy[..., 0, :], xy[..., 1, :], p)
+    area = e0 + e1 + e2
+    area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    bary = jnp.stack([e0, e1, e2], axis=-1) / area[..., None]
+
+    depth = jnp.sum(bary * z, axis=-1)
+    pw = bary * inv_w
+    denom = jnp.sum(pw, axis=-1, keepdims=True)
+    bary_persp = pw / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+
+    mask = tri_id >= 0
+    return bary_persp, bary, depth, mask
+
+
+def interpolate(attr: jnp.ndarray, tris: jnp.ndarray, tri_id: jnp.ndarray, bary: jnp.ndarray):
+    """Perspective-correct vertex-attribute interpolation.
+
+    attr: (V, C) vertex attributes; tri_id: (H,W); bary: (H,W,3).
+    Returns (H,W,C). Background pixels get garbage (mask separately).
+    """
+    corner = tris[jnp.maximum(tri_id, 0)]  # (H,W,3)
+    vals = attr[corner]  # (H,W,3,C)
+    return jnp.sum(bary[..., None] * vals, axis=-2)

@@ -1,0 +1,75 @@
+"""Equirect sky / environment lookup.
+
+TPU-native replacement for ``Source/Shaders/Skybox.hlsl``. The reference draws
+a 5000-scaled sphere mesh centered on the camera with the ``.xyww`` far-plane
+trick and CULL_NONE + LESS_EQUAL depth (PSO at ``PBRApp.cpp:856-875``); the
+visible result is exactly "for each background pixel, look up the equirect
+env map in the view-ray direction". We compute that analytically: unproject
+each pixel to a world-space ray and sample — no sky geometry, no extra
+raster pass, same image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import math3d
+from .texture import sample_equirect
+
+INV_2PI = 0.1591  # the reference's literal constants (LightingUtil.hlsl:219)
+INV_PI = 0.3183
+
+
+def world_to_sky_uv(direction: jnp.ndarray) -> jnp.ndarray:
+    """Equirect direction → uv, exact semantics of ``WorldToSkyUV``
+    (LightingUtil.hlsl:216-225): atan2/asin scaled by the reference's
+    truncated 1/2π, 1/π constants, v flip, u flip, +0.25 u offset.
+    u may exit [0,1]; the wrap sampler handles it (as on the GPU)."""
+    d = direction
+    u = jnp.arctan2(d[..., 2], d[..., 0]) * INV_2PI + 0.5
+    v = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) * INV_PI + 0.5
+    v = 1.0 - v
+    u = 1.0 - u
+    u = u + 0.25
+    return jnp.stack([u, v], axis=-1)
+
+
+def camera_ray_directions(
+    inv_view_proj: jnp.ndarray,
+    width: int,
+    height: int,
+    rows: int | None = None,
+    y_offset: jnp.ndarray | int = 0,
+) -> jnp.ndarray:
+    """World-space unit view-ray direction for every pixel center (rows, W, 3)
+    covering global rows [y_offset, y_offset+rows) of a width×height viewport.
+
+    Unprojects NDC points at z=0 and z=1 through the row-vector inverse
+    view-projection (the reference carries g_InvViewProj in cbPass for this,
+    Core.hlsl:42)."""
+    if rows is None:
+        rows = height
+    py = (
+        jnp.asarray(y_offset, jnp.float32)
+        + jax.lax.broadcasted_iota(jnp.float32, (rows, width), 0)
+        + 0.5
+    )
+    px = jax.lax.broadcasted_iota(jnp.float32, (rows, width), 1) + 0.5
+    ndc_x = px / width * 2.0 - 1.0
+    ndc_y = 1.0 - py / height * 2.0
+
+    def unproject(z):
+        ndc = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, z)], axis=-1)
+        h4 = math3d.transform_points_h(ndc, inv_view_proj)
+        return h4[..., :3] / h4[..., 3:4]
+
+    near_pt = unproject(0.0)
+    far_pt = unproject(1.0)
+    return math3d.normalize(far_pt - near_pt)
+
+
+def sample_sky(env: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+    """Radiance from the equirect env map along unit directions (..., 3)."""
+    uv = world_to_sky_uv(directions)
+    return sample_equirect(env, uv)[..., :3]

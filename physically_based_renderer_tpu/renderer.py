@@ -1,0 +1,252 @@
+"""Top-level differentiable render function.
+
+TPU-native replacement for the whole reference frame path — ``PBRApp::Draw``'s
+seven PSO layer passes (``PBRApp.cpp:245-352``) plus the ``Default.hlsl`` /
+``Skybox.hlsl`` programs — collapsed into ONE pure jitted function:
+
+    image = render(scene, camera, width=W, height=H)
+
+Pipeline (all stages traced into a single XLA program):
+  1. flatten_scene: instance-expand geometry to world space (MXU einsums) —
+     the VS world-transform stage.
+  2. clip transform posW @ ViewProj — the VS projection stage.
+  3. rasterize: tile-based hard rasterizer → per-pixel triangle id.
+  4. compute_barycentrics + interpolate: differentiable attribute fetch
+     (the HW interpolator).
+  5. shade: Cook-Torrance PBR with texture-mask material permutations —
+     the PS stage, uniform over all material classes.
+  6. sky: analytic equirect background (the Skybox pass).
+  7. tonemap: Reinhard + gamma (Default.hlsl:152-155).
+
+Gradients flow to: material scalars, texture texels, lights, ambient, env
+map, world matrices and vertex positions (shading/interp gradients; soft-
+visibility geometry gradients live in ops/raster_soft.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import math3d
+from .camera import Camera
+from .models.material import (
+    MaterialBank,
+    SLOT_DIFFUSE,
+    SLOT_METALLIC,
+    SLOT_NORMAL,
+    SLOT_OPACITY,
+    SLOT_ROUGHNESS,
+    SLOT_SPECULAR,
+)
+from .models.scene import FlatGeometry, Scene, flatten_scene
+from .ops import raster, sky as sky_ops, tonemap as tonemap_ops
+from .ops.brdf import Lights, MaterialSample, compute_lighting, normal_sample_to_world_space
+from .ops.texture import TextureAtlas, sample_atlas
+
+
+def shade_pixels(
+    *,
+    pos_w: jnp.ndarray,  # (..., 3)
+    normal_w: jnp.ndarray,  # (..., 3)
+    tangent_w: jnp.ndarray,  # (..., 3)
+    bitangent_w: jnp.ndarray,  # (..., 3)
+    uv: jnp.ndarray,  # (..., 2)
+    material_id: jnp.ndarray,  # (...,) int32
+    materials: MaterialBank,
+    atlas: TextureAtlas | None,
+    lights: Lights,
+    ambient: jnp.ndarray,  # (3,)
+    eye: jnp.ndarray,  # (3,)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The PS stage (``Default.hlsl:47-161``) over arbitrary pixel batch dims.
+
+    Returns (hdr_color (...,3), opacity (...,)). The reference's five shader
+    permutations (OPAQUE/ASRND/AMRN/TEXTURELESS/ALPHA_TEST,
+    ``PBRApp.cpp:713-774``) are realised as per-material presence masks so a
+    single kernel covers every layer — uniform control flow for the VPU.
+    """
+    mid = material_id
+
+    # Renormalize interpolated normal (Default.hlsl:50); tangent frame is used
+    # raw, as the reference does.
+    n_geom = math3d.normalize(normal_w)
+    v = math3d.normalize(eye - pos_w)
+
+    # Material UV transform (g_MatTransform, Default.hlsl:42): [u,v,1] @ A.
+    a = materials.uv_transform[mid]  # (..., 3, 2)
+    uv_t = (
+        uv[..., 0:1] * a[..., 0, :] + uv[..., 1:2] * a[..., 1, :] + a[..., 2, :]
+    )
+
+    # Constant (cbMaterial) properties.
+    c_diffuse = materials.diffuse[mid]
+    c_metallic = materials.metallic[mid]
+    c_f0 = materials.fresnel_r0[mid]
+    c_roughness = materials.roughness[mid]
+    c_opacity = materials.opacity[mid]
+
+    if atlas is not None:
+        pages = materials.tex_index[mid]  # (..., 12)
+        has = materials.has_tex[mid]  # (..., 12)
+
+        def tex(slot):
+            return sample_atlas(atlas, pages[..., slot], uv_t)
+
+        t_diffuse = tex(SLOT_DIFFUSE)
+        t_specular = tex(SLOT_SPECULAR)
+        t_metallic = tex(SLOT_METALLIC)
+        t_roughness = tex(SLOT_ROUGHNESS)
+        t_normal = tex(SLOT_NORMAL)
+
+        h = lambda s: has[..., s : s + 1]
+        albedo = h(SLOT_DIFFUSE) * t_diffuse[..., :3] + (1.0 - h(SLOT_DIFFUSE)) * c_diffuse
+        metallic = (
+            has[..., SLOT_METALLIC] * t_metallic[..., 0]
+            + (1.0 - has[..., SLOT_METALLIC]) * c_metallic
+        )
+        # No specular map → F0 = lerp(const F0, albedo, metallic)
+        # (Default.hlsl:94-96); with map → raw map value (Default.hlsl:92).
+        f0_const = math3d.lerp(c_f0, albedo, metallic[..., None])
+        f0 = h(SLOT_SPECULAR) * t_specular[..., :3] + (1.0 - h(SLOT_SPECULAR)) * f0_const
+        roughness = (
+            has[..., SLOT_ROUGHNESS] * t_roughness[..., 0]
+            + (1.0 - has[..., SLOT_ROUGHNESS]) * c_roughness
+        )
+        # Normal mapping (Default.hlsl:104-109) — result deliberately NOT
+        # renormalised (parity with NormalSampleToWorldSpace).
+        n_mapped = normal_sample_to_world_space(
+            t_normal[..., :3], n_geom, tangent_w, bitangent_w
+        )
+        n = h(SLOT_NORMAL) * n_mapped + (1.0 - h(SLOT_NORMAL)) * n_geom
+        # Alpha test (Default.hlsl:111-116): opacity from map where bound.
+        t_opacity = tex(SLOT_OPACITY)
+        opacity = (
+            has[..., SLOT_OPACITY] * t_opacity[..., 0]
+            + (1.0 - has[..., SLOT_OPACITY]) * c_opacity
+        )
+    else:
+        albedo = c_diffuse
+        metallic = c_metallic
+        f0 = math3d.lerp(c_f0, albedo, metallic[..., None])
+        roughness = c_roughness
+        n = n_geom
+        opacity = c_opacity
+
+    mat = MaterialSample(
+        diffuse_albedo=albedo, metallic=metallic, fresnel_r0=f0, roughness=roughness
+    )
+    direct = compute_lighting(lights, mat, pos_w, n, v)
+    lit = ambient * albedo + direct  # g_AmbientLight·albedo (Default.hlsl:150)
+    return lit, opacity
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "rows",
+        "tile_h",
+        "tile_w",
+        "tri_block",
+        "cull_backface",
+        "apply_tonemap",
+        "brute_raster",
+    ),
+)
+def render(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    rows: int | None = None,
+    y_offset: jnp.ndarray | int = 0,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    tri_block: int = 128,
+    cull_backface: bool = True,
+    apply_tonemap: bool = True,
+    brute_raster: bool = False,
+) -> jnp.ndarray:
+    """Render the scene → (rows, W, 4) float32, display-encoded RGBA in [0,1].
+
+    ``rows``/``y_offset`` select a horizontal band of the width×height
+    viewport (defaults: the whole frame) — the unit of screen-tile sharding;
+    ``y_offset`` may be a traced value (lax.axis_index in shard_map).
+    ``brute_raster=True`` switches to the O(H·W·T) oracle rasterizer (tiny
+    CPU reference renders only)."""
+    if rows is None:
+        rows = height
+    geom = flatten_scene(scene)
+    vp = camera.view_proj()
+    clip = math3d.transform_points_h(geom.pos_w, vp)
+
+    if brute_raster:
+        assert rows == height, "brute rasterizer renders full frames only"
+        tri_id = raster.rasterize_brute(
+            clip, geom.tris, width=width, height=height, cull_backface=cull_backface
+        )
+    else:
+        tri_id = raster.rasterize(
+            clip,
+            geom.tris,
+            width=width,
+            height=height,
+            rows=rows,
+            y_offset=y_offset,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            tri_block=tri_block,
+            cull_backface=cull_backface,
+        )
+
+    bary_p, _bary_s, _depth, mask = raster.compute_barycentrics(
+        clip, geom.tris, tri_id, width=width, height=height, y_offset=y_offset
+    )
+
+    interp = lambda attr: raster.interpolate(attr, geom.tris, tri_id, bary_p)
+    pos_w = interp(geom.pos_w)
+    normal_w = interp(geom.normal_w)
+    tangent_w = interp(geom.tangent_w)
+    bitangent_w = interp(geom.bitangent_w)
+    uv = interp(geom.uv)
+    pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
+
+    hdr, opacity = shade_pixels(
+        pos_w=pos_w,
+        normal_w=normal_w,
+        tangent_w=tangent_w,
+        bitangent_w=bitangent_w,
+        uv=uv,
+        material_id=pix_mat,
+        materials=scene.materials,
+        atlas=scene.atlas,
+        lights=scene.lights,
+        ambient=scene.ambient,
+        eye=camera.position,
+    )
+
+    if apply_tonemap:
+        fg_rgb = tonemap_ops.tonemap(hdr)
+    else:
+        fg_rgb = hdr
+
+    # Background: analytic skybox pass where nothing was rasterized
+    # (equivalent to the reference's far-plane sky sphere, Skybox.hlsl), else
+    # the 0.5-grey clear color (PBRApp.cpp:274) written raw to the backbuffer.
+    if scene.env_map is not None:
+        inv_vp = math3d.inverse(vp)
+        dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
+        sky_rgb = sky_ops.sample_sky(scene.env_map, dirs)
+        bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+    else:
+        bg_rgb = jnp.broadcast_to(scene.clear_color, (rows, width, 3))
+
+    m = mask[..., None].astype(jnp.float32)
+    rgb = m * fg_rgb + (1.0 - m) * bg_rgb
+    alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
