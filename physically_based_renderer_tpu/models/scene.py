@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.brdf import Lights
+from ..ops.ibl import IBLMaps
 from ..ops.texture import TextureAtlas
 from .material import MaterialBank
 from .mesh import Mesh
@@ -61,9 +62,16 @@ class Scene:
     lights: Lights
     ambient: jnp.ndarray  # (3,) — g_AmbientLight.rgb (0.03 in the default scene)
     env_map: jnp.ndarray | None = None  # (He, We, 3) equirect HDR sky
+    ibl: IBLMaps | None = None  # precomputed irradiance/specular/LUT (replaces
+    # the constant-ambient term when set — the reference's g_SkyArray[1] slot)
     clear_color: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
     )  # PBRApp.cpp:274
+
+    def with_ibl(self) -> "Scene":
+        """Precompute IBL maps from env_map (requires env_map)."""
+        assert self.env_map is not None, "scene has no environment map"
+        return dataclasses.replace(self, ibl=IBLMaps.build(self.env_map))
 
 
 @jax.tree_util.register_dataclass

@@ -1,3 +1,3 @@
-from . import brdf, raster, sky, texture, tonemap
+from . import brdf, raster, raster_bin, raster_pallas, sky, texture, tonemap
 
-__all__ = ["brdf", "raster", "sky", "texture", "tonemap"]
+__all__ = ["brdf", "raster", "raster_bin", "raster_pallas", "sky", "texture", "tonemap"]

@@ -1,0 +1,283 @@
+"""Image-based lighting: diffuse irradiance + split-sum specular prefilter.
+
+The reference stubbed IBL out (the ambient block at ``Default.hlsl:140-149``
+is commented; only ``g_SkyArray[1]`` — an irradiance map slot — exists at
+``Core.hlsl:16``). BASELINE.json config 5 makes it load-bearing: both terms,
+differentiable w.r.t. the environment map.
+
+TPU-first formulation: instead of per-texel Monte-Carlo importance sampling
+(the GPU tutorial approach), every convolution is a DENSE weighted sum over
+environment texels — out[n] = Σ_texels w(n, d_texel) L(texel) dω — expressed
+as one (N_out, N_env) × (N_env, 3) matmul on the MXU. Exact quadrature, no
+sampling noise, trivially differentiable w.r.t. the env map, and the weight
+matrix is shared across color channels.
+
+Conventions: equirect maps use the reference's WorldToSkyUV mapping
+(LightingUtil.hlsl:216-225) so IBL lookups and sky rendering agree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .. import math3d
+from .brdf import MIN_ROUGHNESS
+from .sky import world_to_sky_uv
+from .texture import sample_equirect
+
+PI = math.pi
+
+
+# ---------------------------------------------------------------------------
+# Equirect direction grids (for building maps): the INVERSE of world_to_sky_uv
+# ---------------------------------------------------------------------------
+
+
+def sky_uv_to_direction(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``world_to_sky_uv``: uv in [0,1] → unit direction.
+
+    world_to_sky_uv: u = 1.25 − (atan2(z,x)·INV_2PI + 0.5) → atan2(z,x) =
+    (0.75 − u)/INV_2PI; v = 0.5 − asin(y)·INV_PI → asin(y) = (0.5 − v)/INV_PI.
+    Uses the reference's truncated constants so the round-trip is exact."""
+    from .sky import INV_2PI, INV_PI
+
+    theta = (0.75 - u) / INV_2PI  # atan2(z, x)
+    phi = (0.5 - v) / INV_PI  # asin(y)
+    y = jnp.sin(phi)
+    c = jnp.cos(phi)
+    return jnp.stack([c * jnp.cos(theta), y, c * jnp.sin(theta)], axis=-1)
+
+
+def equirect_grid(height: int, width: int):
+    """Texel-center directions (H·W, 3) and solid angles (H·W,) of an
+    equirect map under the reference's sky mapping."""
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    uu, vv = jnp.meshgrid(u, v)
+    dirs = sky_uv_to_direction(uu, vv).reshape(-1, 3)
+    # dω = (Δθ)(Δφ) cos(elevation); elevation = asin(y) per row.
+    from .sky import INV_2PI, INV_PI
+
+    dphi = (1.0 / height) / INV_PI
+    dtheta = (1.0 / width) / INV_2PI
+    elev = (0.5 - vv) / INV_PI
+    solid = (jnp.cos(elev) * dphi * dtheta).reshape(-1)
+    return dirs, solid
+
+
+def resize_env(env: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Area-ish downsample of an equirect env map (differentiable)."""
+    h, w, c = env.shape
+    if h == height and w == width:
+        return env
+    if h % height == 0 and w % width == 0:
+        fh, fw = h // height, w // width
+        return env.reshape(height, fh, width, fw, c).mean(axis=(1, 3))
+    # bilinear fallback
+    vs = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    us = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    uu, vv = jnp.meshgrid(us, vs)
+    uv = jnp.stack([uu, vv], axis=-1)
+    return sample_equirect(env, uv)
+
+
+# ---------------------------------------------------------------------------
+# Map building (dense quadrature matmuls)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("out_height", "out_width", "env_samples"))
+def irradiance_map(
+    env: jnp.ndarray, out_height: int = 32, out_width: int = 64, env_samples: int = 64
+) -> jnp.ndarray:
+    """Cosine-convolved diffuse irradiance map (out_h, out_w, 3):
+    E(n) = ∫ L(l) max(n·l, 0) dl / π (the 1/π makes it directly usable as
+    ``irradiance · albedo`` diffuse, matching Default.hlsl:144-146)."""
+    env_small = resize_env(env, env_samples, env_samples * 2)
+    l_dirs, solid = equirect_grid(env_samples, env_samples * 2)  # (Ne,3),(Ne,)
+    n_dirs, _ = equirect_grid(out_height, out_width)  # (No,3)
+
+    cos = jnp.maximum(n_dirs @ l_dirs.T, 0.0)  # (No, Ne) — MXU
+    w = cos * solid[None, :] / PI
+    out = w @ env_small.reshape(-1, 3)  # (No, 3) — MXU
+    return out.reshape(out_height, out_width, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("base_height", "base_width", "num_levels", "env_samples")
+)
+def prefilter_specular(
+    env: jnp.ndarray,
+    base_height: int = 64,
+    base_width: int = 128,
+    num_levels: int = 5,
+    env_samples: int = 64,
+) -> tuple[jnp.ndarray, ...]:
+    """Split-sum term 1: GGX-prefiltered radiance per roughness level.
+
+    Level l has roughness r_l = l/(num_levels−1) and resolution
+    (base >> l). Uses the N=V=R approximation (as the split-sum derivation
+    does): weight(n→l) ∝ D_GGX(n·h) (n·l) with n·h = √((1+n·l)/2)."""
+    env_small = resize_env(env, env_samples, env_samples * 2)
+    l_dirs, solid = equirect_grid(env_samples, env_samples * 2)
+    env_flat = env_small.reshape(-1, 3)
+
+    levels = []
+    for lvl in range(num_levels):
+        rough = lvl / max(num_levels - 1, 1)
+        h = max(base_height >> lvl, 4)
+        w = max(base_width >> lvl, 8)
+        n_dirs, _ = equirect_grid(h, w)
+        cos_nl = n_dirs @ l_dirs.T  # (No, Ne)
+        cpos = jnp.maximum(cos_nl, 0.0)
+        if lvl == 0:
+            # roughness 0 → mirror: the distribution collapses to the env
+            # lookup itself; use a very tight GGX to stay differentiable.
+            alpha = MIN_ROUGHNESS**2
+        else:
+            alpha = max(rough, MIN_ROUGHNESS) ** 2
+        a2 = alpha * alpha
+        ndoth2 = (1.0 + cos_nl) * 0.5  # (n·h)² given n=v
+        denom = ndoth2 * (a2 - 1.0) + 1.0
+        d = a2 / (PI * denom * denom)
+        wgt = d * cpos * solid[None, :]
+        norm = jnp.sum(wgt, axis=-1, keepdims=True)
+        wgt = wgt / jnp.maximum(norm, 1e-12)
+        out = wgt @ env_flat
+        levels.append(out.reshape(h, w, 3))
+    return tuple(levels)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "num_samples"))
+def brdf_lut(size: int = 64, num_samples: int = 256) -> jnp.ndarray:
+    """Split-sum term 2: ∫ BRDF — the (NdotV, roughness) → (scale, bias) LUT,
+    computed by GGX importance sampling with a Hammersley sequence (constant;
+    no gradient path needed). Returns (size, size, 2): x = NdotV axis,
+    y = roughness axis."""
+    ndotv = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    rough = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+
+    i = jnp.arange(num_samples, dtype=jnp.uint32)
+    # radical inverse (van der Corput); masks as uint32 to avoid int overflow
+    u32 = lambda x: jnp.uint32(x)
+    bits = i
+    bits = (bits << 16) | (bits >> 16)
+    bits = ((bits & u32(0x55555555)) << 1) | ((bits & u32(0xAAAAAAAA)) >> 1)
+    bits = ((bits & u32(0x33333333)) << 2) | ((bits & u32(0xCCCCCCCC)) >> 2)
+    bits = ((bits & u32(0x0F0F0F0F)) << 4) | ((bits & u32(0xF0F0F0F0)) >> 4)
+    bits = ((bits & u32(0x00FF00FF)) << 8) | ((bits & u32(0xFF00FF00)) >> 8)
+    xi2 = bits.astype(jnp.float32) * 2.3283064365386963e-10
+    xi1 = i.astype(jnp.float32) / num_samples
+
+    def one_cell(nv, r):
+        rc = jnp.maximum(r, MIN_ROUGHNESS)
+        a = rc * rc  # α = roughness²
+        v = jnp.stack([jnp.sqrt(1.0 - nv * nv), jnp.zeros_like(nv), nv])
+        # GGX importance sample h around +z
+        phi = 2.0 * PI * xi1
+        cos_th = jnp.sqrt((1.0 - xi2) / (1.0 + (a * a - 1.0) * xi2))
+        sin_th = jnp.sqrt(jnp.maximum(1.0 - cos_th * cos_th, 0.0))
+        h = jnp.stack([sin_th * jnp.cos(phi), sin_th * jnp.sin(phi), cos_th], axis=-1)
+        l = 2.0 * (v @ h.T)[:, None] * h - v[None, :]
+        ndotl = jnp.maximum(l[:, 2], 0.0)
+        ndoth = jnp.maximum(h[:, 2], 0.0)
+        vdoth = jnp.maximum(v @ h.T, 0.0)
+        # Smith G with k = r²/2 (IBL remap, vs (r+1)²/8 for direct lighting)
+        k = (rc * rc) / 2.0
+        g1l = ndotl / (ndotl * (1 - k) + k)
+        g1v = nv / (nv * (1 - k) + k)
+        g = g1l * g1v
+        g_vis = jnp.where(ndoth > 0, g * vdoth / jnp.maximum(ndoth * nv, 1e-8), 0.0)
+        fc = jnp.power(1.0 - vdoth, 5.0)
+        scale = jnp.sum((1.0 - fc) * g_vis) / num_samples
+        bias = jnp.sum(fc * g_vis) / num_samples
+        return jnp.stack([scale, bias])
+
+    cell = jax.vmap(jax.vmap(one_cell, in_axes=(0, None)), in_axes=(None, 0))
+    return cell(ndotv, rough)  # (size_r, size_nv, 2)
+
+
+# ---------------------------------------------------------------------------
+# Precomputed IBL bundle + shading term
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IBLMaps:
+    irradiance: jnp.ndarray  # (Hi, Wi, 3) equirect
+    specular_levels: tuple[jnp.ndarray, ...]  # per-roughness equirect mips
+    lut: jnp.ndarray  # (S, S, 2) — [roughness, ndotv] → (scale, bias)
+
+    @staticmethod
+    def build(env: jnp.ndarray, **kwargs) -> "IBLMaps":
+        return IBLMaps(
+            irradiance=irradiance_map(env),
+            specular_levels=prefilter_specular(env),
+            lut=brdf_lut(),
+        )
+
+    @property
+    def num_specular_levels(self) -> int:
+        return len(self.specular_levels)
+
+
+def sample_equirect_dir(m: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+    uv = world_to_sky_uv(directions)
+    return sample_equirect(m, uv)[..., :3]
+
+
+def ambient_ibl(
+    ibl: IBLMaps,
+    n: jnp.ndarray,  # (..., 3) shading normal (unit)
+    v: jnp.ndarray,  # (..., 3) view dir (unit, surface→eye)
+    albedo: jnp.ndarray,  # (..., 3)
+    f0: jnp.ndarray,  # (..., 3)
+    metallic: jnp.ndarray,  # (...,)
+    roughness: jnp.ndarray,  # (...,)
+) -> jnp.ndarray:
+    """IBL ambient term, completing the reference's commented-out block
+    (Default.hlsl:140-149) plus split-sum specular:
+
+        kS = F_schlick(n·v); kD = (1−kS)(1−metallic)
+        diffuse  = kD · irradiance(n) · albedo
+        specular = prefiltered(reflect(−v,n), rough) · (F0·lutA + lutB)
+    """
+    ndotv = jnp.maximum(math3d.dot(n, v), 0.0)
+    # Fresnel at the macro surface (cosTheta = n·v), as the reference's
+    # FresnelSchlick(N, V, F0) call does.
+    ks = f0 + (1.0 - f0) * jnp.power(1.0 - ndotv, 5.0)[..., None]
+    kd = (1.0 - ks) * (1.0 - metallic)[..., None]
+
+    irr = sample_equirect_dir(ibl.irradiance, n)
+    diffuse = kd * irr * albedo
+
+    r = 2.0 * ndotv[..., None] * n - v  # reflect(-v, n)
+    r = math3d.normalize(r)
+
+    nl = ibl.num_specular_levels
+    lod = jnp.clip(roughness, 0.0, 1.0) * (nl - 1)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    pre0 = jnp.zeros_like(albedo)
+    pre1 = jnp.zeros_like(albedo)
+    for li in range(nl):
+        sel0 = (l0 == li).astype(jnp.float32)[..., None]
+        sel1 = (jnp.clip(l0 + 1, 0, nl - 1) == li).astype(jnp.float32)[..., None]
+        smp = sample_equirect_dir(ibl.specular_levels[li], r)
+        pre0 = pre0 + sel0 * smp
+        pre1 = pre1 + sel1 * smp
+    prefiltered = pre0 * (1.0 - frac) + pre1 * frac
+
+    s = ibl.lut.shape[0]
+    ri = jnp.clip((roughness * s - 0.5).astype(jnp.int32), 0, s - 1)
+    vi = jnp.clip((ndotv * s - 0.5).astype(jnp.int32), 0, s - 1)
+    ab = ibl.lut[ri, vi]  # (..., 2)
+    specular = prefiltered * (f0 * ab[..., 0:1] + ab[..., 1:2])
+
+    return diffuse + specular

@@ -1,0 +1,238 @@
+"""Pallas TPU rasterizer: per-tile dynamic triangle runs, VMEM depth resolve.
+
+The hot forward kernel replacing the v0 scan-everything rasterizer. One grid
+step per screen tile; each step
+
+  * reads its [start, end) pair range from scalar-prefetched ``starts``
+    (plus the global jumbo run [0, starts[0)) — see ``raster_bin``),
+  * DMAs fixed-size chunks of the field-major packed triangle data
+    (HBM → VMEM, contiguous — the payoff of sort-based binning),
+  * evaluates 3 edge functions + the depth plane for (pixels × chunk)
+    on the VPU with a dynamic ``fori_loop`` trip count (only the REAL
+    triangles of this tile are ever touched — zero wasted work),
+  * keeps a running (depth, id) argmin in VMEM; ties go to the earlier
+    pair (= draw order), matching the LESS depth test.
+
+The kernel only produces integer triangle ids; barycentrics/attributes are
+recomputed differentiably outside (see ``raster.compute_barycentrics``), so
+no backward kernel is needed for the raster stage itself.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import setup_triangles
+from .raster_bin import NUM_FIELDS, bin_triangles
+
+CHUNK = 128  # triangles per DMA chunk (lane width)
+
+
+def _raster_tile_kernel(
+    # scalar prefetch
+    starts_ref,  # (ntiles+1,) i32 in SMEM
+    meta_ref,  # (1,) i32: [y_offset]
+    # inputs (ANY/HBM)
+    packed_ref,  # (NUM_FIELDS, PAIRS_pad) f32
+    ids_ref,  # (1, PAIRS_pad) i32
+    # output (VMEM block per tile)
+    out_ref,  # (1, tile_h, tile_w) i32
+    # scratch
+    fbuf,  # (NUM_FIELDS, CHUNK) f32 VMEM
+    ibuf,  # (1, CHUNK) i32 VMEM
+    fsem,
+    isem,
+    best_z,  # (P, 1) f32 VMEM
+    best_id,  # (P, 1) i32 VMEM
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+):
+    p = tile_h * tile_w
+    i = pl.program_id(0)
+    ty = i // tiles_x
+    tx = i % tiles_x
+
+    x_base = (tx * tile_w).astype(jnp.float32)
+    y_base = (ty * tile_h + meta_ref[0]).astype(jnp.float32)
+
+    # Pixel centers, flattened pixel axis on sublanes: (P, 1).
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = x_base + (pix % tile_w).astype(jnp.float32) + 0.5
+    py = y_base + (pix // tile_w).astype(jnp.float32) + 0.5
+
+    best_z[:] = jnp.full((p, 1), jnp.inf, jnp.float32)
+    best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, CHUNK), 1)
+
+    def process_range(lo, hi):
+        """Depth-resolve pairs [lo, hi) in CHUNK-sized steps.
+
+        The start is aligned DOWN to a CHUNK boundary so every DMA offset is
+        provably 128-aligned (Mosaic requires it). The extra leading pairs
+        belong to neighbouring tiles: each is either a duplicate of a pair in
+        this tile's own run (identical depth/id — idempotent under the strict
+        < depth test) or a triangle not covering these pixels (inside-test
+        rejects). Correct, ≤127 pairs of waste per range."""
+        lo_a = (lo // CHUNK) * CHUNK
+        n_chunks = (hi - lo_a + CHUNK - 1) // CHUNK
+
+        def body(j, _):
+            base = pl.multiple_of(lo_a + j * CHUNK, CHUNK)
+            fdma = pltpu.make_async_copy(
+                packed_ref.at[:, pl.ds(base, CHUNK)], fbuf, fsem
+            )
+            idma = pltpu.make_async_copy(ids_ref.at[:, pl.ds(base, CHUNK)], ibuf, isem)
+            fdma.start()
+            idma.start()
+            fdma.wait()
+            idma.wait()
+
+            f = fbuf[:]  # (NUM_FIELDS, CHUNK)
+            dx = px - f[9:10, :]  # (P, CHUNK)
+            dy = py - f[10:11, :]
+            e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
+            e1 = dx * f[1:2, :] + dy * f[4:5, :] + f[7:8, :]
+            e2 = dx * f[2:3, :] + dy * f[5:6, :] + f[8:9, :]
+            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            z = dx * f[11:12, :] + dy * f[12:13, :] + f[13:14, :]
+
+            tid = ibuf[:]  # (1, CHUNK)
+            in_run = lane < (hi - base)  # mask the tail chunk
+            ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
+            zm = jnp.where(ok, z, jnp.inf)
+
+            zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
+            # Earliest lane achieving the min (draw-order ties).
+            win_lane = jnp.min(
+                jnp.where(zm == zmin, lane, CHUNK), axis=1, keepdims=True
+            )
+            win_id = jnp.max(
+                jnp.where(lane == win_lane, jnp.broadcast_to(tid, (p, CHUNK)), -1),
+                axis=1,
+                keepdims=True,
+            )
+            better = zmin < best_z[:]
+            best_z[:] = jnp.where(better, zmin, best_z[:])
+            best_id[:] = jnp.where(better, win_id, best_id[:])
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    # Pairs [0, starts[0]) are the global (jumbo) run; tile i's own run is
+    # [starts[i], starts[i+1]).
+    g_end = starts_ref[0]
+    s0 = starts_ref[i]
+    s1 = starts_ref[i + 1]
+    process_range(0, g_end)  # jumbo triangles (every tile)
+    process_range(s0, s1)  # this tile's run
+
+    out_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "rows",
+        "tile_h",
+        "tile_w",
+        "max_span",
+        "pairs_cap",
+        "cull_backface",
+        "interpret",
+    ),
+)
+def rasterize_binned(
+    verts_clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    rows: int | None = None,
+    y_offset: jnp.ndarray | int = 0,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    max_span: int = 8,
+    pairs_cap: int | None = None,
+    cull_backface: bool = True,
+    tri_mask: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Binned Pallas rasterization → (rows, width) i32 triangle ids.
+
+    Same contract as ``raster.rasterize`` (full viewport projection,
+    optional row band). ``interpret=True`` runs the kernel in interpreter
+    mode (CPU testing)."""
+    if rows is None:
+        rows = height
+    y_offset = jnp.asarray(y_offset, jnp.int32)
+
+    st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+    binned = bin_triangles(
+        st,
+        width=width,
+        height=height,
+        rows=rows,
+        y_offset=y_offset,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        max_span=max_span,
+        pairs_cap=pairs_cap,
+        chunk=CHUNK,
+    )
+
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-rows // tile_h)
+    ntiles = tiles_y * tiles_x
+    p = tile_h * tile_w
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((1, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _raster_tile_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x
+    )
+    tile_out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ntiles, tile_h, tile_w), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        binned.starts,
+        jnp.reshape(y_offset, (1,)),
+        binned.packed,
+        binned.pair_tri.reshape(1, -1),
+    )
+
+    img = (
+        tile_out.reshape(tiles_y, tiles_x, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w)
+    )
+    return img[:rows, :width]

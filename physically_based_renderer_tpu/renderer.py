@@ -42,8 +42,9 @@ from .models.material import (
     SLOT_SPECULAR,
 )
 from .models.scene import FlatGeometry, Scene, flatten_scene
-from .ops import raster, sky as sky_ops, tonemap as tonemap_ops
+from .ops import raster, raster_pallas, sky as sky_ops, tonemap as tonemap_ops
 from .ops.brdf import Lights, MaterialSample, compute_lighting, normal_sample_to_world_space
+from .ops.ibl import IBLMaps, ambient_ibl
 from .ops.texture import TextureAtlas, sample_atlas
 
 
@@ -60,6 +61,7 @@ def shade_pixels(
     lights: Lights,
     ambient: jnp.ndarray,  # (3,)
     eye: jnp.ndarray,  # (3,)
+    ibl: IBLMaps | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The PS stage (``Default.hlsl:47-161``) over arbitrary pixel batch dims.
 
@@ -139,7 +141,14 @@ def shade_pixels(
         diffuse_albedo=albedo, metallic=metallic, fresnel_r0=f0, roughness=roughness
     )
     direct = compute_lighting(lights, mat, pos_w, n, v)
-    lit = ambient * albedo + direct  # g_AmbientLight·albedo (Default.hlsl:150)
+    if ibl is not None:
+        # IBL ambient replaces the constant term — the path the reference
+        # stubbed out (Default.hlsl:140-149) plus split-sum specular.
+        n_unit = math3d.normalize(n)
+        amb = ambient_ibl(ibl, n_unit, v, albedo, f0, metallic, roughness)
+    else:
+        amb = ambient * albedo  # g_AmbientLight·albedo (Default.hlsl:150)
+    lit = amb + direct
     return lit, opacity
 
 
@@ -154,7 +163,7 @@ def shade_pixels(
         "tri_block",
         "cull_backface",
         "apply_tonemap",
-        "brute_raster",
+        "raster_backend",
     ),
 )
 def render(
@@ -165,32 +174,51 @@ def render(
     height: int,
     rows: int | None = None,
     y_offset: jnp.ndarray | int = 0,
-    tile_h: int = 32,
+    tile_h: int | None = None,
     tile_w: int = 128,
     tri_block: int = 128,
     cull_backface: bool = True,
     apply_tonemap: bool = True,
-    brute_raster: bool = False,
+    raster_backend: str = "auto",
 ) -> jnp.ndarray:
     """Render the scene → (rows, W, 4) float32, display-encoded RGBA in [0,1].
 
     ``rows``/``y_offset`` select a horizontal band of the width×height
     viewport (defaults: the whole frame) — the unit of screen-tile sharding;
     ``y_offset`` may be a traced value (lax.axis_index in shard_map).
-    ``brute_raster=True`` switches to the O(H·W·T) oracle rasterizer (tiny
-    CPU reference renders only)."""
+
+    ``raster_backend``: "auto" (Pallas kernel on TPU, jnp tiled elsewhere),
+    "pallas", "pallas_interpret", "jnp", or "brute" (O(H·W·T) oracle for tiny
+    CPU reference renders)."""
     if rows is None:
         rows = height
     geom = flatten_scene(scene)
     vp = camera.view_proj()
     clip = math3d.transform_points_h(geom.pos_w, vp)
 
-    if brute_raster:
+    backend = raster_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
+
+    if backend == "brute":
         assert rows == height, "brute rasterizer renders full frames only"
         tri_id = raster.rasterize_brute(
             clip, geom.tris, width=width, height=height, cull_backface=cull_backface
         )
-    else:
+    elif backend in ("pallas", "pallas_interpret"):
+        tri_id = raster_pallas.rasterize_binned(
+            clip,
+            geom.tris,
+            width=width,
+            height=height,
+            rows=rows,
+            y_offset=y_offset,
+            tile_h=tile_h if tile_h is not None else 16,
+            tile_w=tile_w,
+            cull_backface=cull_backface,
+            interpret=(backend == "pallas_interpret"),
+        )
+    elif backend == "jnp":
         tri_id = raster.rasterize(
             clip,
             geom.tris,
@@ -198,11 +226,13 @@ def render(
             height=height,
             rows=rows,
             y_offset=y_offset,
-            tile_h=tile_h,
+            tile_h=tile_h if tile_h is not None else 32,
             tile_w=tile_w,
             tri_block=tri_block,
             cull_backface=cull_backface,
         )
+    else:
+        raise ValueError(f"unknown raster_backend {raster_backend!r}")
 
     bary_p, _bary_s, _depth, mask = raster.compute_barycentrics(
         clip, geom.tris, tri_id, width=width, height=height, y_offset=y_offset
@@ -228,6 +258,7 @@ def render(
         lights=scene.lights,
         ambient=scene.ambient,
         eye=camera.position,
+        ibl=scene.ibl,
     )
 
     if apply_tonemap:
