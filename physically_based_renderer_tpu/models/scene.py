@@ -31,18 +31,24 @@ from .mesh import Mesh
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class InstancedDraw:
-    """One shared mesh drawn I times (the batched RenderItem)."""
+    """One shared mesh drawn I times (the batched RenderItem).
+
+    Materials: per-instance ``material_ids`` by default; multi-material
+    meshes (OBJ submeshes, ``Mesh.h:12-20`` DrawArgs) instead carry
+    ``face_materials`` — global material-bank ids per triangle, shared by
+    all instances."""
 
     mesh: Mesh
     worlds: jnp.ndarray  # (I, 4, 4) row-vector world matrices
     material_ids: jnp.ndarray  # (I,) int32
+    face_materials: jnp.ndarray | None = None  # (T,) int32 or None
 
     @property
     def num_instances(self) -> int:
         return self.worlds.shape[0]
 
     @staticmethod
-    def create(mesh: Mesh, worlds, material_ids) -> "InstancedDraw":
+    def create(mesh: Mesh, worlds, material_ids, face_materials=None) -> "InstancedDraw":
         worlds = jnp.asarray(worlds, jnp.float32)
         if worlds.ndim == 2:
             worlds = worlds[None]
@@ -50,6 +56,11 @@ class InstancedDraw:
             mesh=mesh,
             worlds=worlds,
             material_ids=jnp.atleast_1d(jnp.asarray(material_ids, jnp.int32)),
+            face_materials=(
+                jnp.asarray(face_materials, jnp.int32)
+                if face_materials is not None
+                else None
+            ),
         )
 
 
@@ -122,9 +133,15 @@ def flatten_scene(scene: Scene) -> FlatGeometry:
         inst_off = v_offset + jnp.arange(num_i, dtype=jnp.int32) * nv  # (I,)
         tris = m.tris[None, :, :] + inst_off[:, None, None]  # (I,T,3)
         tri_parts.append(tris.reshape(-1, 3))
-        mat_parts.append(
-            jnp.broadcast_to(draw.material_ids[:, None], (num_i, m.num_triangles)).reshape(-1)
-        )
+        if draw.face_materials is not None:
+            face_mat = jnp.broadcast_to(
+                draw.face_materials[None, :], (num_i, m.num_triangles)
+            )
+        else:
+            face_mat = jnp.broadcast_to(
+                draw.material_ids[:, None], (num_i, m.num_triangles)
+            )
+        mat_parts.append(face_mat.reshape(-1))
         v_offset += num_i * nv
 
     return FlatGeometry(

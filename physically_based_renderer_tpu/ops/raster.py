@@ -146,6 +146,8 @@ def _pad_tris(a: jnp.ndarray, block: int, fill=0):
         "tile_w",
         "tri_block",
         "cull_backface",
+        "return_depth",
+        "edge_margin_px",
     ),
 )
 def rasterize(
@@ -161,6 +163,9 @@ def rasterize(
     tri_block: int = 128,
     cull_backface: bool = True,
     tri_mask: jnp.ndarray | None = None,
+    z_floor: jnp.ndarray | None = None,
+    return_depth: bool = False,
+    edge_margin_px: float = 0.0,
 ) -> jnp.ndarray:
     """Hard rasterization → winning triangle id per pixel, (rows, W) int32,
     BACKGROUND (-1) where nothing was drawn. Depth test: LESS, z ∈ [0,1].
@@ -169,7 +174,14 @@ def rasterize(
     output covers global pixel rows [y_offset, y_offset+rows) — the band API
     that screen-tile sharding uses to give each chip its slice of the frame.
     ``y_offset`` may be traced (e.g. derived from ``lax.axis_index``).
-    Non-tile-multiple bands are padded up to the tile grid and cropped."""
+    Non-tile-multiple bands are padded up to the tile grid and cropped.
+
+    ``z_floor`` (rows, W): only fragments with z strictly greater are
+    accepted — the depth-peeling hook for the soft/differentiable renderer.
+    ``return_depth=True`` → (tri_id, depth) with depth=+inf at background.
+    ``edge_margin_px`` dilates every triangle by that many pixels (edge test
+    e_i ≥ −margin·|∇e_i|) so the soft renderer captures near-miss fragments
+    — SoftRas silhouette blur support. 0 = exact coverage."""
     if rows is None:
         rows = height
     pad_h = (-rows) % tile_h
@@ -183,9 +195,14 @@ def rasterize(
     nblocks = -(-num_t // tri_block)
 
     # Pack per-triangle data, padded to block multiple. Padded tris invalid.
+    if edge_margin_px > 0.0:
+        margin = edge_margin_px * jnp.sqrt(ea * ea + eb * eb)  # (T,3)
+    else:
+        margin = jnp.zeros_like(ea)
     ea_p = _pad_tris(ea, tri_block)
     eb_p = _pad_tris(eb, tri_block)
     ec_p = _pad_tris(ec, tri_block)
+    em_p = _pad_tris(margin, tri_block)
     ex0_p = _pad_tris(ex0, tri_block)
     ey0_p = _pad_tris(ey0, tri_block)
     z_p = _pad_tris(st.z, tri_block)
@@ -202,16 +219,22 @@ def rasterize(
     y_min = _pad_tris(jnp.where(st.valid, y_min, big), tri_block, fill=big)
     x_max = _pad_tris(jnp.where(st.valid, x_max, -big), tri_block, fill=-big)
     y_max = _pad_tris(jnp.where(st.valid, y_max, -big), tri_block, fill=-big)
+    # Per-triangle bbox per block (for dilated capture bounding)
+    x_min_bt = x_min.reshape(nblocks, tri_block)
+    x_max_bt = x_max.reshape(nblocks, tri_block)
+    y_min_bt = y_min.reshape(nblocks, tri_block)
+    y_max_bt = y_max.reshape(nblocks, tri_block)
     # Block-level bbox (min over block of mins, etc.)
-    bx0 = jnp.min(x_min.reshape(nblocks, tri_block), axis=1)
-    bx1 = jnp.max(x_max.reshape(nblocks, tri_block), axis=1)
-    by0 = jnp.min(y_min.reshape(nblocks, tri_block), axis=1)
-    by1 = jnp.max(y_max.reshape(nblocks, tri_block), axis=1)
+    bx0 = jnp.min(x_min_bt, axis=1)
+    bx1 = jnp.max(x_max_bt, axis=1)
+    by0 = jnp.min(y_min_bt, axis=1)
+    by1 = jnp.max(y_max_bt, axis=1)
 
     shape_b = (nblocks, tri_block)
     ea_b = ea_p.reshape(nblocks, tri_block, 3)
     eb_b = eb_p.reshape(nblocks, tri_block, 3)
     ec_b = ec_p.reshape(nblocks, tri_block, 3)
+    em_b = em_p.reshape(nblocks, tri_block, 3)
     ex0_b = ex0_p.reshape(shape_b)
     ey0_b = ey0_p.reshape(shape_b)
     z_b = z_p.reshape(*shape_b, 3)
@@ -224,10 +247,21 @@ def rasterize(
     tiles_y = rows_p // tile_h
     tiles_x = width_p // tile_w
 
+    if z_floor is not None:
+        zf_tiles = (
+            jnp.pad(z_floor, ((0, pad_h), (0, pad_w)), constant_values=-jnp.inf)
+            .reshape(tiles_y, tile_h, tiles_x, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(tiles_y * tiles_x, tile_h, tile_w)
+        )
+    else:
+        zf_tiles = None
+
     def raster_tile(tile_idx):
         ty = tile_idx // tiles_x
         tx = tile_idx % tiles_x
         px, py = _tile_pixel_centers(ty, tx, tile_h, tile_w, y_offset)
+        zf = zf_tiles[tile_idx] if zf_tiles is not None else None
 
         tile_x0 = (tx * tile_w).astype(jnp.float32)
         tile_y0 = y_offset + (ty * tile_h).astype(jnp.float32)
@@ -240,19 +274,30 @@ def rasterize(
                 ea_k,
                 eb_k,
                 ec_k,
+                em_k,
                 ex0_k,
                 ey0_k,
                 z_k,
                 area_k,
                 valid_k,
                 tid_k,
+                x_min_b,
+                x_max_b,
+                y_min_b,
+                y_max_b,
                 b0x,
                 b1x,
                 b0y,
                 b1y,
             ) = blk
 
-            overlaps = (b0x <= tile_x1) & (b1x >= tile_x0) & (b0y <= tile_y1) & (b1y >= tile_y0)
+            mg = edge_margin_px
+            overlaps = (
+                (b0x <= tile_x1 + mg)
+                & (b1x >= tile_x0 - mg)
+                & (b0y <= tile_y1 + mg)
+                & (b1y >= tile_y0 - mg)
+            )
 
             def do_block(carry):
                 best_z, best_id = carry
@@ -263,11 +308,30 @@ def rasterize(
                     + (py[..., None, None] - ey0_k[:, None]) * eb_k
                     + ec_k
                 )  # (th, tw, TB, 3)
-                inside = jnp.all(e >= 0.0, axis=-1) & valid_k  # (th, tw, TB)
+                inside = jnp.all(e >= -em_k, axis=-1) & valid_k  # (th, tw, TB)
+                if edge_margin_px > 0.0:
+                    # Dilated bands of sliver/degenerate triangles extend far
+                    # along their line; bound capture to the bbox + margin.
+                    inside = (
+                        inside
+                        & (px[..., None] >= x_min_b - edge_margin_px)
+                        & (px[..., None] <= x_max_b + edge_margin_px)
+                        & (py[..., None] >= y_min_b - edge_margin_px)
+                        & (py[..., None] <= y_max_b + edge_margin_px)
+                    )
                 # e was re-oriented by sign(area), so Σe = |area|: normalise by |area|
                 bary = e / jnp.abs(area_k)[:, None]  # (th,tw,TB,3)
                 zpix = jnp.sum(bary * z_k, axis=-1)  # (th, tw, TB)
+                if edge_margin_px > 0.0:
+                    # Dilated pixels extrapolate z along the triangle plane —
+                    # grazing silhouette triangles diverge. Clamp to the
+                    # vertex z range (no-op for truly-interior pixels).
+                    zpix = jnp.clip(
+                        zpix, jnp.min(z_k, axis=-1), jnp.max(z_k, axis=-1)
+                    )
                 ok = inside & (zpix >= 0.0) & (zpix <= 1.0)
+                if zf is not None:
+                    ok = ok & (zpix > zf[..., None])  # depth peeling
                 zpix = jnp.where(ok, zpix, jnp.inf)
                 # Within-block depth argmin (first-drawn wins ties → argmin
                 # picks lowest index on ties, matching draw order).
@@ -291,18 +355,41 @@ def rasterize(
         (best_z, best_id), _ = jax.lax.scan(
             block_step,
             init,
-            (ea_b, eb_b, ec_b, ex0_b, ey0_b, z_b, area_b, valid_b, tid_b, bx0, bx1, by0, by1),
+            (
+                ea_b,
+                eb_b,
+                ec_b,
+                em_b,
+                ex0_b,
+                ey0_b,
+                z_b,
+                area_b,
+                valid_b,
+                tid_b,
+                x_min_bt,
+                x_max_bt,
+                y_min_bt,
+                y_max_bt,
+                bx0,
+                bx1,
+                by0,
+                by1,
+            ),
         )
-        return best_id
+        return best_id, best_z
 
-    tile_ids = jax.lax.map(raster_tile, jnp.arange(tiles_y * tiles_x))
-    # (tiles, th, tw) → (rows_p, Wp) → crop to (rows, W)
-    full = (
-        tile_ids.reshape(tiles_y, tiles_x, tile_h, tile_w)
-        .transpose(0, 2, 1, 3)
-        .reshape(rows_p, width_p)
-    )
-    return full[:rows, :width]
+    tile_ids, tile_z = jax.lax.map(raster_tile, jnp.arange(tiles_y * tiles_x))
+
+    def untile(t):
+        return (
+            t.reshape(tiles_y, tiles_x, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows_p, width_p)[:rows, :width]
+        )
+
+    if return_depth:
+        return untile(tile_ids), untile(tile_z)
+    return untile(tile_ids)
 
 
 def rasterize_brute(
@@ -343,13 +430,18 @@ def compute_barycentrics(
     width: int,
     height: int,
     y_offset: jnp.ndarray | int = 0,
+    clamp: bool = False,
 ):
     """Differentiable per-pixel barycentrics for the winning triangles.
 
     Returns (bary_persp (H,W,3), bary_screen (H,W,3), depth (H,W), mask (H,W)).
     Gradients flow to ``verts_clip`` through the edge/area math; ``tri_id``
     (int) contributes none, mirroring hard-visibility shading gradients.
-    """
+
+    ``clamp=True`` projects barycentrics onto [0,1]³ and renormalises —
+    needed when ``tri_id`` comes from a dilated (soft) raster pass, where
+    pixels slightly outside their triangle would otherwise extrapolate
+    attributes off the surface."""
     xy_all, z_all, invw_all = project_to_screen(verts_clip, width, height)
     safe_id = jnp.maximum(tri_id, 0)
     corner = tris[safe_id]  # (H,W,3)
@@ -376,6 +468,9 @@ def compute_barycentrics(
     area = e0 + e1 + e2
     area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
     bary = jnp.stack([e0, e1, e2], axis=-1) / area[..., None]
+    if clamp:
+        bary = jnp.clip(bary, 0.0, 1.0)
+        bary = bary / jnp.maximum(jnp.sum(bary, axis=-1, keepdims=True), 1e-12)
 
     depth = jnp.sum(bary * z, axis=-1)
     pw = bary * inv_w

@@ -42,7 +42,13 @@ from .models.material import (
     SLOT_SPECULAR,
 )
 from .models.scene import FlatGeometry, Scene, flatten_scene
-from .ops import raster, raster_pallas, sky as sky_ops, tonemap as tonemap_ops
+from .ops import (
+    raster,
+    raster_pallas,
+    raster_soft,
+    sky as sky_ops,
+    tonemap as tonemap_ops,
+)
 from .ops.brdf import Lights, MaterialSample, compute_lighting, normal_sample_to_world_space
 from .ops.ibl import IBLMaps, ambient_ibl
 from .ops.texture import TextureAtlas, sample_atlas
@@ -281,3 +287,102 @@ def render(
     rgb = m * fg_rgb + (1.0 - m) * bg_rgb
     alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "num_layers",
+        "sigma",
+        "gamma",
+        "cull_backface",
+        "apply_tonemap",
+    ),
+)
+def render_soft(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    num_layers: int = 3,
+    sigma: float = 1.0,
+    gamma: float = 1e-2,
+    cull_backface: bool = True,
+    apply_tonemap: bool = True,
+) -> jnp.ndarray:
+    """Differentiable-visibility render → (H, W, 3) display-encoded RGB.
+
+    Depth-peels ``num_layers`` nearest fragments per pixel, shades each with
+    the full PBR shader, and blends with SoftRas sigmoid-coverage ×
+    softmax-depth weights (see ops/raster_soft.py). Gradients flow to vertex
+    positions / world matrices THROUGH silhouettes and occlusion order —
+    the geometry-optimisation path. sigma→0, gamma→0 ≈ ``render``."""
+    geom = flatten_scene(scene)
+    vp = camera.view_proj()
+    clip = math3d.transform_points_h(geom.pos_w, vp)
+
+    ids, zs = raster_soft.peel_layers(
+        clip,
+        geom.tris,
+        width=width,
+        height=height,
+        num_layers=num_layers,
+        cull_backface=cull_backface,
+        edge_margin_px=3.0 * sigma,  # capture the sigmoid's support
+    )
+
+    def shade_layer(tri_id):
+        bary_p, _, depth, mask = raster.compute_barycentrics(
+            clip, geom.tris, tri_id, width=width, height=height, clamp=True
+        )
+        interp = lambda attr: raster.interpolate(attr, geom.tris, tri_id, bary_p)
+        hdr, _op = shade_pixels(
+            pos_w=interp(geom.pos_w),
+            normal_w=interp(geom.normal_w),
+            tangent_w=interp(geom.tangent_w),
+            bitangent_w=interp(geom.bitangent_w),
+            uv=interp(geom.uv),
+            material_id=geom.face_material[jnp.maximum(tri_id, 0)],
+            materials=scene.materials,
+            atlas=scene.atlas,
+            lights=scene.lights,
+            ambient=scene.ambient,
+            eye=camera.position,
+            ibl=scene.ibl,
+        )
+        color = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
+        sd = raster_soft.signed_distance_px(
+            clip, geom.tris, tri_id, width=width, height=height
+        )
+        # depth recomputed differentiably (zs from the raster pass is used
+        # only for peeling structure)
+        return color, depth, sd, mask
+
+    colors, depths, sdists, valids = [], [], [], []
+    for k in range(num_layers):
+        c, d, s, m = shade_layer(ids[k])
+        colors.append(c)
+        depths.append(jnp.where(m, d, jnp.inf))
+        sdists.append(s)
+        valids.append(m)
+
+    if scene.env_map is not None:
+        inv_vp = math3d.inverse(vp)
+        dirs = sky_ops.camera_ray_directions(inv_vp, width, height)
+        sky_rgb = sky_ops.sample_sky(scene.env_map, dirs)
+        bg = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+    else:
+        bg = jnp.broadcast_to(scene.clear_color, (height, width, 3))
+
+    return raster_soft.soft_composite(
+        jnp.stack(colors),
+        jnp.stack(depths),
+        jnp.stack(sdists),
+        jnp.stack(valids),
+        bg,
+        sigma=sigma,
+        gamma=gamma,
+    )

@@ -226,6 +226,73 @@ def pbr_scene(
     )
 
 
+def obj_scene(
+    path: str,
+    assets: AssetCache | None = None,
+    texture_size: int = 512,
+    world=None,
+    environment: str | None = None,
+    lights: Lights | None = None,
+    prefer_native: bool = True,
+) -> Scene:
+    """Load an OBJ model (with MTL materials + textures) into a scene —
+    the LoadOBJModel path (PBRApp.cpp:1471-1639)."""
+    from .models.obj_loader import load_obj
+    from .utils.image_io import load_image
+
+    loaded = load_obj(path, prefer_native=prefer_native)
+    assets = assets or AssetCache(texture_size=texture_size)
+
+    mb = MaterialBuilder()
+    local_to_global = []
+    if not loaded.material_names:
+        local_to_global.append(mb.add("obj::default"))
+    for name, kwargs, textures in zip(
+        loaded.material_names, loaded.material_kwargs, loaded.material_textures
+    ):
+        pages = {}
+        for slot, tex_path in textures.items():
+            if os.path.exists(tex_path):
+                key = f"obj:{tex_path}"
+                if key not in assets._page_index:
+                    img = load_image(tex_path)
+                    idx = len(assets.pages)
+                    assets.pages.append(img)
+                    assets.srgb.append(slot in SRGB_SLOTS)
+                    assets._page_index[key] = idx
+                pages[slot] = assets._page_index[key]
+        local_to_global.append(mb.add(name, textures=pages, **kwargs))
+
+    face_mat = np.asarray(local_to_global, np.int32)[loaded.face_material]
+    if world is None:
+        world = np.eye(4, dtype=np.float32)
+    env = assets.load_environment(environment) if environment else None
+    return Scene(
+        draws=(
+            InstancedDraw.create(loaded.mesh, world, [local_to_global[0]], face_materials=face_mat),
+        ),
+        materials=mb.build(),
+        atlas=assets.build_atlas(),
+        lights=lights if lights is not None else Lights.default_scene_lights(),
+        ambient=jnp.asarray(AMBIENT, jnp.float32),
+        env_map=env,
+    )
+
+
+def mori_knob_scene(
+    assets: AssetCache | None = None,
+    texture_size: int = 512,
+    environment: str | None = None,
+    world=None,
+) -> Scene:
+    """BASELINE config 4: the mori_knob test model (6,091 verts / 11,970 tris
+    / 5 materials — Assets/mori_knob/testObj.obj)."""
+    assets = assets or AssetCache(texture_size=texture_size)
+    path = os.path.join(assets.root, "mori_knob", "testObj.obj")
+    return obj_scene(path, assets=assets, texture_size=texture_size,
+                     world=world, environment=environment)
+
+
 def rustediron_sphere_scene(
     assets: AssetCache | None = None, texture_size: int = 512, environment: str | None = None
 ) -> Scene:

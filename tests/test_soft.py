@@ -1,0 +1,107 @@
+"""Soft-rasterizer tests: hard-limit convergence, silhouette geometry
+gradients vs finite differences (the differentiable-visibility milestone)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from physically_based_renderer_tpu import Camera, render, scenes
+from physically_based_renderer_tpu.renderer import render_soft
+from physically_based_renderer_tpu.ops import raster, raster_soft
+from physically_based_renderer_tpu import math3d, sphere_mesh
+
+W, H = 96, 96
+
+
+def test_depth_peeling_layers():
+    # Sphere: layer 0 = front faces; layer 1 (with culling off) = back faces.
+    mesh = sphere_mesh(1.0, 16, 8)
+    cam = Camera.create(aspect=1.0)
+    clip = math3d.transform_points_h(mesh.positions, cam.view_proj())
+    ids, zs = raster_soft.peel_layers(
+        clip, mesh.tris, width=W, height=H, num_layers=2, cull_backface=False
+    )
+    i0, i1 = np.asarray(ids[0]), np.asarray(ids[1])
+    z0, z1 = np.asarray(zs[0]), np.asarray(zs[1])
+    both = (i0 >= 0) & (i1 >= 0)
+    assert both.sum() > 100  # sphere interior has 2 layers
+    assert (z1[both] > z0[both]).all()
+    assert (i0[both] != i1[both]).all()
+
+
+def test_soft_converges_to_hard():
+    scene = scenes.analytic_sphere_scene(slices=24, stacks=12)
+    cam = Camera.create(aspect=1.0)
+    hard = np.asarray(render(scene, cam, width=W, height=H))[..., :3]
+    soft = np.asarray(
+        render_soft(scene, cam, width=W, height=H, sigma=0.02, gamma=1e-4)
+    )
+    diff = np.abs(hard - soft).max(-1)
+    # tight everywhere except a thin silhouette band
+    assert (diff > 3e-2).mean() < 0.02, (diff > 3e-2).mean()
+    assert np.median(diff) < 1e-3
+
+
+def test_signed_distance_sign():
+    # Fullscreen triangle: interior pixels positive distance.
+    clip = jnp.asarray(
+        [[-3.0, -1.0, 0.5, 1.0], [3.0, -1.0, 0.5, 1.0], [0.0, 3.0, 0.5, 1.0]]
+    )
+    tris = jnp.asarray([[0, 2, 1]], jnp.int32)
+    tid = raster.rasterize(clip, tris, width=W, height=H)
+    sd = np.asarray(
+        raster_soft.signed_distance_px(clip, tris, tid, width=W, height=H)
+    )
+    assert (sd > 0).all()
+
+
+def test_geometry_gradient_through_silhouette():
+    """THE soft-raster test: moving a DARK sphere right must increase dark
+    coverage in the right half — grad of masked brightness w.r.t.
+    x-translation must match finite differences (impossible with hard
+    visibility). The sphere must contrast with the 0.5-grey background or
+    the signal drowns in aggregation noise."""
+    scene0 = scenes.analytic_sphere_scene(
+        (0.02, 0.02, 0.02), 1.0, 0.0, slices=16, stacks=8
+    )
+    cam = Camera.create(aspect=1.0)
+
+    def brightness(dx):
+        draw = scene0.draws[0]
+        w = draw.worlds.at[:, 3, 0].add(dx)
+        s = dataclasses.replace(scene0, draws=(dataclasses.replace(draw, worlds=w),))
+        img = render_soft(s, cam, width=W, height=H, sigma=1.5, gamma=1e-3)
+        # right half of the image only → translation changes coverage there
+        return jnp.mean(img[:, W // 2 :, :])
+
+    g = float(jax.grad(brightness)(0.0))
+    # Trend slope via least squares over a range (robust to the per-pixel
+    # aggregation ripple all SoftRas-family renderers exhibit).
+    xs = np.linspace(-0.06, 0.06, 7)
+    vals = np.asarray([float(brightness(float(x))) for x in xs])
+    slope = np.linalg.lstsq(np.vstack([xs, np.ones_like(xs)]).T, vals, rcond=None)[0][0]
+    assert np.isfinite(g)
+    assert abs(g) > 1e-3, "no silhouette gradient"
+    assert np.sign(g) == np.sign(slope)
+    # SoftRas-style gradients are approximate: demand the right sign and
+    # magnitude within a factor ~2 of the observed trend.
+    assert 0.5 <= g / slope <= 2.0, (g, slope)
+
+
+def test_vertex_gradient_nonzero_everywhere_finite():
+    scene = scenes.analytic_sphere_scene(slices=12, stacks=6)
+    cam = Camera.create(aspect=1.0)
+
+    def loss(scale):
+        draw = scene.draws[0]
+        mesh2 = dataclasses.replace(draw.mesh, positions=draw.mesh.positions * scale)
+        s = dataclasses.replace(scene, draws=(dataclasses.replace(draw, mesh=mesh2),))
+        img = render_soft(s, cam, width=64, height=64, sigma=1.0)
+        return jnp.mean(img)
+
+    g = float(jax.grad(loss)(1.0))
+    fd = (float(loss(1.02)) - float(loss(0.98))) / 0.04
+    assert np.isfinite(g) and abs(g) > 1e-4
+    np.testing.assert_allclose(g, fd, rtol=0.2)
