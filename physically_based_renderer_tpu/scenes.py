@@ -54,7 +54,7 @@ SRGB_SLOTS = {"diffuse", "specular"}
 ENVIRONMENTS = {
     "chelsea_stairs": ("Chelsea_Stairs", "Chelsea_Stairs_Env.hdr"),
     "papermill": ("PaperMill_Ruins_E", "PaperMill_E_Env.hdr"),
-    "subway_lights": ("Subway_Lights", "Subway_Lights_Env.hdr"),
+    "subway_lights": ("Subway_Lights", "20_Subway_Lights_Env.hdr"),
 }
 
 

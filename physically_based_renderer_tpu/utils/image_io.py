@@ -86,7 +86,8 @@ def load_hdr(path: str) -> np.ndarray:
         else:
             # flat scanline (possibly old-style RLE, not emitted by modern tools)
             row = buf[off : off + width * 4].reshape(width, 4)
-            if (row[:, 0] == 1).any() and (row[:, 1] == 1).any():
+            # old-style RLE marker: a pixel with r==g==b==1 (repeat count)
+            if ((row[:, 0] == 1) & (row[:, 1] == 1) & (row[:, 2] == 1)).any():
                 raise NotImplementedError("old-style RLE HDR not supported")
             rgbe[y] = row
             off += width * 4
@@ -95,7 +96,9 @@ def load_hdr(path: str) -> np.ndarray:
     exp = rgbe[..., 3].astype(np.int32)
     scale = np.where(exp == 0, 0.0, np.ldexp(1.0, exp - 136)).astype(np.float32)
     out = mant * scale[..., None]
-    if exposure != 1.0:
+    # FreeImage writes a bogus EXPOSURE=0 header (Chelsea_Stairs_Env.hdr);
+    # only meaningful positive exposures rescale.
+    if exposure > 0.0 and exposure != 1.0:
         out /= exposure
     return out
 
