@@ -76,6 +76,9 @@ class MaterialBank:
     tex_index: jnp.ndarray  # (M, 12) i32 — atlas page per slot (0 if absent)
     has_tex: jnp.ndarray  # (M, 12) f32 — 1.0 where the slot is bound
     alpha_test: jnp.ndarray  # (M,) f32 — 1.0 for alpha-tested materials
+    # 1.0 for blended materials (the Transparent render layer: SrcAlpha /
+    # InvSrcAlpha, CULL_NONE — PBRApp.cpp:830-844)
+    transparent: jnp.ndarray  # (M,) f32
 
     @property
     def num_materials(self) -> int:
@@ -109,6 +112,7 @@ class MaterialBuilder:
         uv_transform=None,
         textures: dict[str, int] | None = None,
         alpha_test=False,
+        transparent=False,
     ) -> int:
         """textures: slot-name → atlas page index (see SLOT_NAMES)."""
         if name in self.index:
@@ -140,6 +144,7 @@ class MaterialBuilder:
             tex_index=tex_index,
             has_tex=has_tex,
             alpha_test=1.0 if alpha_test else 0.0,
+            transparent=1.0 if transparent else 0.0,
         )
         idx = len(self._rows)
         self._rows.append(row)
@@ -171,4 +176,5 @@ class MaterialBuilder:
             tex_index=jnp.asarray(np.stack([r["tex_index"] for r in self._rows])),
             has_tex=col("has_tex"),
             alpha_test=col("alpha_test"),
+            transparent=col("transparent"),
         )

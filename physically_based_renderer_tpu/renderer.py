@@ -291,6 +291,123 @@ def render(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("width", "height", "solid_layers", "transparent_layers", "apply_tonemap"),
+)
+def render_layered(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    solid_layers: int = 2,
+    transparent_layers: int = 2,
+    apply_tonemap: bool = True,
+) -> jnp.ndarray:
+    """Render with the full material-layer semantics of the reference's
+    seven-pass draw (``PBRApp.cpp:292-320``): opaque + alpha-tested (clip at
+    opacity<0.1, ``Default.hlsl:113``) resolved by depth peeling, then
+    transparent materials blended SrcAlpha/InvSrcAlpha front-to-back with
+    accumulated transmittance (``PBRApp.cpp:830-844``), then sky background.
+
+    Use :func:`render` for opaque-only scenes (fewer passes)."""
+    geom = flatten_scene(scene)
+    vp = camera.view_proj()
+    clip = math3d.transform_points_h(geom.pos_w, vp)
+
+    face_transparent = scene.materials.transparent[geom.face_material] > 0.5
+    solid_mask = ~face_transparent
+
+    def shade_at(tri_id):
+        bary_p, _, _, _ = raster.compute_barycentrics(
+            clip, geom.tris, tri_id, width=width, height=height
+        )
+        interp = lambda attr: raster.interpolate(attr, geom.tris, tri_id, bary_p)
+        pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
+        hdr, opacity = shade_pixels(
+            pos_w=interp(geom.pos_w),
+            normal_w=interp(geom.normal_w),
+            tangent_w=interp(geom.tangent_w),
+            bitangent_w=interp(geom.bitangent_w),
+            uv=interp(geom.uv),
+            material_id=pix_mat,
+            materials=scene.materials,
+            atlas=scene.atlas,
+            lights=scene.lights,
+            ambient=scene.ambient,
+            eye=camera.position,
+            ibl=scene.ibl,
+        )
+        color = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
+        return color, opacity, pix_mat
+
+    # --- solid resolve (opaque + alpha-tested) via depth peeling ----------
+    z_floor = jnp.full((height, width), -jnp.inf, jnp.float32)
+    solid_rgb = jnp.zeros((height, width, 3), jnp.float32)
+    solid_z = jnp.full((height, width), 1.0, jnp.float32)  # far plane
+    resolved = jnp.zeros((height, width), bool)
+    for _ in range(solid_layers):
+        tid, z = raster.rasterize(
+            clip,
+            geom.tris,
+            width=width,
+            height=height,
+            tri_mask=solid_mask,
+            z_floor=z_floor,
+            return_depth=True,
+        )
+        color, opacity, pix_mat = shade_at(tid)
+        at_flag = scene.materials.alpha_test[pix_mat] > 0.5
+        hit = tid >= 0
+        # clip(opacity − 0.1) for alpha-tested materials (Default.hlsl:113)
+        accept = hit & (~at_flag | (opacity >= 0.1))
+        take = accept & ~resolved
+        solid_rgb = jnp.where(take[..., None], color, solid_rgb)
+        solid_z = jnp.where(take, z, solid_z)
+        resolved = resolved | take
+        z_floor = jnp.where(hit, z, z_floor)
+
+    # --- background -------------------------------------------------------
+    if scene.env_map is not None:
+        inv_vp = math3d.inverse(vp)
+        dirs = sky_ops.camera_ray_directions(inv_vp, width, height)
+        sky_rgb = sky_ops.sample_sky(scene.env_map, dirs)
+        bg = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+    else:
+        bg = jnp.broadcast_to(scene.clear_color, (height, width, 3))
+    solid_rgb = jnp.where(resolved[..., None], solid_rgb, bg)
+
+    # --- transparent blend (front-to-back with transmittance) -------------
+    if transparent_layers > 0:
+        trans_acc = jnp.zeros((height, width, 3), jnp.float32)
+        transmit = jnp.ones((height, width, 1), jnp.float32)
+        z_floor_t = jnp.full((height, width), -jnp.inf, jnp.float32)
+        for _ in range(transparent_layers):
+            tid, z = raster.rasterize(
+                clip,
+                geom.tris,
+                width=width,
+                height=height,
+                tri_mask=face_transparent,
+                cull_backface=False,  # transparent PSO is CULL_NONE
+                z_floor=z_floor_t,
+                return_depth=True,
+            )
+            color, opacity, _ = shade_at(tid)
+            visible = (tid >= 0) & (z < solid_z)  # depth test vs solids
+            a = jnp.where(visible, opacity, 0.0)[..., None]
+            trans_acc = trans_acc + transmit * a * color
+            transmit = transmit * (1.0 - a)
+            z_floor_t = jnp.where(tid >= 0, z, z_floor_t)
+        rgb = trans_acc + transmit * solid_rgb
+    else:
+        rgb = solid_rgb
+
+    alpha = jnp.ones((height, width, 1), jnp.float32)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "width",
         "height",
