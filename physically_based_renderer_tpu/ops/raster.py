@@ -344,13 +344,17 @@ def rasterize(
             new_carry = jax.lax.cond(overlaps, do_block, lambda c: c, (best_z, best_id))
             return new_carry, None
 
-        # Fold y_offset into the init so the carry has the same varying-axis
-        # type as do_block's output under shard_map (y_offset is axis-varying
-        # when derived from lax.axis_index).
+        # Fold zero terms of every potentially shard_map-varying input into
+        # the init so the carry has the same varying-axis type as do_block's
+        # output (y_offset varies under row sharding; tri data/masks vary
+        # under triangle sharding). All terms are exactly zero.
+        vary_f = 0.0 * y_offset + 0.0 * jnp.sum(ea_b[0, 0, :]) * 0.0 + jnp.sum(
+            valid_b[0, :1].astype(jnp.float32)
+        ) * 0.0
+        vary_i = vary_f.astype(jnp.int32)
         init = (
-            jnp.full((tile_h, tile_w), jnp.inf, jnp.float32) + 0.0 * y_offset,
-            jnp.full((tile_h, tile_w), BACKGROUND, jnp.int32)
-            + 0 * y_offset.astype(jnp.int32),
+            jnp.full((tile_h, tile_w), jnp.inf, jnp.float32) + vary_f,
+            jnp.full((tile_h, tile_w), BACKGROUND, jnp.int32) + vary_i,
         )
         (best_z, best_id), _ = jax.lax.scan(
             block_step,
@@ -479,6 +483,71 @@ def compute_barycentrics(
 
     mask = tri_id >= 0
     return bary_persp, bary, depth, mask
+
+
+def interpolate_packed(
+    packed_attrs: jnp.ndarray,  # (V, C) vertex attributes to interpolate
+    verts_clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    tri_id: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    y_offset: jnp.ndarray | int = 0,
+    clamp: bool = False,
+):
+    """Fused barycentric computation + attribute interpolation.
+
+    Packs the screen-space corner data (xy, z, 1/w) together with the caller
+    attributes so the whole G-buffer stage costs ONE (H·W, 3)-corner gather
+    (and one scatter-add in the backward) instead of one per attribute —
+    gathers are the dominant cost of the deferred stage on TPU.
+
+    Returns (attrs (H,W,C), depth (H,W), mask (H,W)).
+    """
+    xy_all, z_all, invw_all = project_to_screen(verts_clip, width, height)
+    packed = jnp.concatenate(
+        [packed_attrs, xy_all, z_all[:, None], invw_all[:, None]], axis=-1
+    )  # (V, C+4)
+    c = packed_attrs.shape[-1]
+
+    corner = tris[jnp.maximum(tri_id, 0)]  # (H,W,3)
+    data = packed[corner]  # (H,W,3,C+4) — the single gather
+    xy = data[..., c : c + 2]
+    z = data[..., c + 2]
+    inv_w = data[..., c + 3]
+
+    py = (
+        jnp.asarray(y_offset, jnp.float32)
+        + jax.lax.broadcasted_iota(jnp.float32, tri_id.shape, 0)
+        + 0.5
+    )
+    px = jax.lax.broadcasted_iota(jnp.float32, tri_id.shape, 1) + 0.5
+    p = jnp.stack([px, py], axis=-1)
+
+    def edge(pa, pb, pt):
+        return (pt[..., 0] - pa[..., 0]) * (pb[..., 1] - pa[..., 1]) - (
+            pt[..., 1] - pa[..., 1]
+        ) * (pb[..., 0] - pa[..., 0])
+
+    e0 = edge(xy[..., 1, :], xy[..., 2, :], p)
+    e1 = edge(xy[..., 2, :], xy[..., 0, :], p)
+    e2 = edge(xy[..., 0, :], xy[..., 1, :], p)
+    area = e0 + e1 + e2
+    area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    bary = jnp.stack([e0, e1, e2], axis=-1) / area[..., None]
+    if clamp:
+        bary = jnp.clip(bary, 0.0, 1.0)
+        bary = bary / jnp.maximum(jnp.sum(bary, axis=-1, keepdims=True), 1e-12)
+
+    depth = jnp.sum(bary * z, axis=-1)
+    pw = bary * inv_w
+    denom = jnp.sum(pw, axis=-1, keepdims=True)
+    bary_persp = pw / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+
+    attrs = jnp.sum(bary_persp[..., None] * data[..., :c], axis=-2)
+    mask = tri_id >= 0
+    return attrs, depth, mask
 
 
 def interpolate(attr: jnp.ndarray, tris: jnp.ndarray, tri_id: jnp.ndarray, bary: jnp.ndarray):

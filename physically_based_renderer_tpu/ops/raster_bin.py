@@ -109,7 +109,10 @@ def bin_triangles(
     nty = -(-rows // tile_h)
     ntiles = nty * ntx
     if pairs_cap is None:
-        pairs_cap = max(4 * num_t, 1 << 12)
+        # Post-sort truncation cap: real pair counts are typically ≪ T (a
+        # 195k-tri scene bins ~70k pairs at 1080p/16×128 tiles), so T is a
+        # generous default; ``overflowed`` flags scenes that need more.
+        pairs_cap = max(num_t, 1 << 16)
 
     x = st.xy[..., 0]
     y = st.xy[..., 1]
@@ -135,37 +138,54 @@ def bin_triangles(
     span = span_w * span_h
     small = valid & (span <= max_span)
     jumbo = valid & (span > max_span)
+    total = jnp.sum(jnp.where(small, span, 0)) + jnp.sum(jumbo.astype(jnp.int32))
+    overflowed = total > pairs_cap  # diagnostics only (capacity is exact now)
 
-    # Slot layout: jumbo pairs first (1 slot each), then small-tri pairs.
-    jumbo_slots = jnp.cumsum(jumbo.astype(jnp.int32)) - jumbo.astype(jnp.int32)
-    num_jumbo = jnp.sum(jumbo.astype(jnp.int32))
-    small_span = jnp.where(small, span, 0)
-    small_offs = num_jumbo + jnp.cumsum(small_span) - small_span
-    total = num_jumbo + jnp.sum(small_span)
-    overflowed = total > pairs_cap
-
-    sentinel_tile = jnp.int32(ntiles)
-    pair_tile = jnp.full((pairs_cap,), sentinel_tile, jnp.int32)
-    pair_tri = jnp.full((pairs_cap,), -1, jnp.int32)
+    # DENSE pair emission — no scatters (TPU scatters were the dominant
+    # binning cost): every triangle emits max_span candidate (tile, tri)
+    # pairs, invalid ones keyed with the ntiles sentinel so the sort pushes
+    # them to the tail; jumbo triangles emit one key −1 pair (sorts to the
+    # front → the global list every tile processes).
     tri_ids = jnp.arange(num_t, dtype=jnp.int32)
+    ks = jnp.arange(max_span, dtype=jnp.int32)[None, :]  # (1, S)
+    r = ks // jnp.maximum(span_w, 1)[:, None]
+    c = ks % jnp.maximum(span_w, 1)[:, None]
+    tile_dense = (ty0[:, None] + r) * ntx + (tx0[:, None] + c)  # (T, S)
+    ok_dense = small[:, None] & (ks < span[:, None])
+    # Shift tiles by +1 so jumbo pairs key 0 (sort to the front) and the
+    # sentinel is ntiles+1.
+    keys_dense = jnp.where(ok_dense, tile_dense + 1, jnp.int32(ntiles + 1))
+    keys_jumbo = jnp.where(jumbo, jnp.int32(0), jnp.int32(ntiles + 1))
+    key_tiles = jnp.concatenate([keys_dense.reshape(-1), keys_jumbo])  # (slots,)
+    num_slots = num_t * (max_span + 1)
 
-    # Jumbo: tile key -1 sorts to the front → global list.
-    jslot = jnp.where(jumbo, jumbo_slots, pairs_cap)
-    pair_tile = pair_tile.at[jslot].set(-1, mode="drop")
-    pair_tri = pair_tri.at[jslot].set(tri_ids, mode="drop")
-
-    for k in range(max_span):
-        r = k // jnp.maximum(span_w, 1)
-        c = k % jnp.maximum(span_w, 1)
-        tile = (ty0 + r) * ntx + (tx0 + c)
-        ok = small & (k < span)
-        slot = jnp.where(ok, small_offs + k, pairs_cap)
-        pair_tile = pair_tile.at[slot].set(tile, mode="drop")
-        pair_tri = pair_tri.at[slot].set(tri_ids, mode="drop")
-
-    order = jnp.argsort(pair_tile, stable=True)
-    sorted_tile = pair_tile[order]
-    sorted_tri = pair_tri[order]
+    IDX_BITS = 21
+    if ntiles + 2 <= (1 << (31 - IDX_BITS)) and num_slots < (1 << IDX_BITS):
+        # Fast path: pack (tile+1, slot) into one int32 and run a single
+        # value-free sort — the slot index decodes back to the triangle id
+        # arithmetically, so no post-sort gathers at all. Keys are unique →
+        # unstable sort is exact, and slot order within a tile = ascending
+        # triangle id = draw order.
+        slot_iota = jnp.arange(num_slots, dtype=jnp.int32)
+        packed_keys = (key_tiles << IDX_BITS) | slot_iota
+        sorted_keys = jnp.sort(packed_keys)[:pairs_cap]
+        sorted_tile = (sorted_keys >> IDX_BITS) - 1
+        slot = sorted_keys & ((1 << IDX_BITS) - 1)
+        tri_from_slot = jnp.where(
+            slot < num_t * max_span, slot // max_span, slot - num_t * max_span
+        )
+        sorted_tri = jnp.where(sorted_tile < ntiles, tri_from_slot, -1)
+    else:
+        # General fallback: argsort + value gathers.
+        all_tris = jnp.concatenate(
+            [
+                jnp.broadcast_to(tri_ids[:, None], (num_t, max_span)).reshape(-1),
+                tri_ids,
+            ]
+        )
+        order = jnp.argsort(key_tiles, stable=True)
+        sorted_tile = key_tiles[order][:pairs_cap] - 1
+        sorted_tri = jnp.where(sorted_tile < ntiles, all_tris[order][:pairs_cap], -1)
 
     # starts[i] = first pair of tile i; [0, starts[0]) is the jumbo run
     # (tile key -1). searchsorted over i in [0, ntiles].

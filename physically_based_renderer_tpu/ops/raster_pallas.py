@@ -43,8 +43,8 @@ def _raster_tile_kernel(
     # output (VMEM block per tile)
     out_ref,  # (1, tile_h, tile_w) i32
     # scratch
-    fbuf,  # (NUM_FIELDS, CHUNK) f32 VMEM
-    ibuf,  # (1, CHUNK) i32 VMEM
+    fbuf,  # (2, NUM_FIELDS, CHUNK) f32 VMEM — double-buffered
+    ibuf,  # (2, 1, CHUNK) i32 VMEM
     fsem,
     isem,
     best_z,  # (P, 1) f32 VMEM
@@ -70,10 +70,11 @@ def _raster_tile_kernel(
     best_z[:] = jnp.full((p, 1), jnp.inf, jnp.float32)
     best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     def process_range(lo, hi):
-        """Depth-resolve pairs [lo, hi) in CHUNK-sized steps.
+        """Depth-resolve pairs [lo, hi) in CHUNK-sized steps, double-buffered
+        (DMA of chunk j+1 overlaps compute of chunk j).
 
         The start is aligned DOWN to a CHUNK boundary so every DMA offset is
         provably 128-aligned (Mosaic requires it). The extra leading pairs
@@ -84,18 +85,35 @@ def _raster_tile_kernel(
         lo_a = (lo // CHUNK) * CHUNK
         n_chunks = (hi - lo_a + CHUNK - 1) // CHUNK
 
-        def body(j, _):
+        def make_dmas(slot, j):
             base = pl.multiple_of(lo_a + j * CHUNK, CHUNK)
             fdma = pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(base, CHUNK)], fbuf, fsem
+                packed_ref.at[:, pl.ds(base, CHUNK)], fbuf.at[slot], fsem.at[slot]
             )
-            idma = pltpu.make_async_copy(ids_ref.at[:, pl.ds(base, CHUNK)], ibuf, isem)
-            fdma.start()
-            idma.start()
-            fdma.wait()
-            idma.wait()
+            idma = pltpu.make_async_copy(
+                ids_ref.at[:, pl.ds(base, CHUNK)], ibuf.at[slot], isem.at[slot]
+            )
+            return fdma, idma
 
-            f = fbuf[:]  # (NUM_FIELDS, CHUNK)
+        f0, i0 = make_dmas(0, 0)
+        f0.start()
+        i0.start()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < n_chunks)
+            def _():
+                fn, inx = make_dmas((j + 1) % 2, j + 1)
+                fn.start()
+                inx.start()
+
+            fw, iw = make_dmas(slot, j)
+            fw.wait()
+            iw.wait()
+            base = pl.multiple_of(lo_a + j * CHUNK, CHUNK)
+
+            f = fbuf[slot]  # (NUM_FIELDS, CHUNK)
             dx = px - f[9:10, :]  # (P, CHUNK)
             dy = py - f[10:11, :]
             e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
@@ -104,18 +122,17 @@ def _raster_tile_kernel(
             inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
             z = dx * f[11:12, :] + dy * f[12:13, :] + f[13:14, :]
 
-            tid = ibuf[:]  # (1, CHUNK)
+            tid = ibuf[slot]  # (1, CHUNK)
             in_run = lane < (hi - base)  # mask the tail chunk
             ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
             zm = jnp.where(ok, z, jnp.inf)
 
             zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
-            # Earliest lane achieving the min (draw-order ties).
-            win_lane = jnp.min(
-                jnp.where(zm == zmin, lane, CHUNK), axis=1, keepdims=True
-            )
-            win_id = jnp.max(
-                jnp.where(lane == win_lane, jnp.broadcast_to(tid, (p, CHUNK)), -1),
+            # Winner id = smallest tid among lanes achieving the min. Pairs
+            # are tile-sorted in ascending tri id (= draw order), so min-id
+            # ties reproduce first-drawn-wins.
+            win_id = jnp.min(
+                jnp.where(zm <= zmin, tid, jnp.int32(0x7FFFFFFF)),
                 axis=1,
                 keepdims=True,
             )
@@ -131,8 +148,14 @@ def _raster_tile_kernel(
     g_end = starts_ref[0]
     s0 = starts_ref[i]
     s1 = starts_ref[i + 1]
-    process_range(0, g_end)  # jumbo triangles (every tile)
-    process_range(s0, s1)  # this tile's run
+
+    @pl.when(g_end > 0)
+    def _():
+        process_range(0, g_end)  # jumbo triangles (every tile)
+
+    @pl.when(s1 > s0)
+    def _():
+        process_range(s0, s1)  # this tile's run
 
     out_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
 
@@ -206,10 +229,10 @@ def rasterize_binned(
             (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
-            pltpu.VMEM((1, CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, 1), jnp.int32),
         ],

@@ -145,3 +145,140 @@ def make_train_step(
 def shard_target(target: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Place a (H, W, C) target image row-sharded on the mesh."""
     return jax.device_put(target, NamedSharding(mesh, P(ROWS_AXIS)))
+
+
+# ---------------------------------------------------------------------------
+# Primitive (triangle) parallelism — the sequence-parallel / ring analog
+# ---------------------------------------------------------------------------
+
+TRIS_AXIS = "tris"
+
+
+def make_tri_mesh(devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return jax.make_mesh((len(devices),), (TRIS_AXIS,), devices=devices)
+
+
+def render_tri_sharded(
+    scene: Scene,
+    camera: Camera,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    merge: str = "ring",
+    **render_kwargs: Any,
+) -> jnp.ndarray:
+    """Render with TRIANGLES sharded over the mesh (SURVEY.md §2.3: the
+    'primitive parallel' axis — triangles : tiles :: keys : queries in ring
+    attention, with the depth resolve as the online running-reduce).
+
+    Each device rasterizes the full frame against its triangle shard (raster
+    work scales 1/N); the per-device (depth, id) buffers then merge to a
+    global hard-visibility resolve either by
+
+      * ``merge="ring"`` — N−1 ``ppermute`` steps passing (z, id) around the
+        ICI ring with a running elementwise min-by-depth (streaming, O(HW)
+        memory — the ring-attention pattern), or
+      * ``merge="allgather"`` — one all_gather + argmin over the device axis
+        (simpler, N× memory).
+
+    Shading then runs row-sharded (each device shades its band of the merged
+    id map). Geometry/material data stays replicated this round; the
+    memory-sharded attribute-exchange variant is the planned extension.
+    """
+    from ..models.scene import flatten_scene
+    from ..renderer import shade_pixels
+    from .. import math3d
+    from ..ops import raster, sky as sky_ops, tonemap as tonemap_ops
+
+    n = mesh.shape[TRIS_AXIS]
+    assert height % n == 0, f"height {height} must divide over {n} devices"
+    band = height // n
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(TRIS_AXIS)
+    )
+    def _render(scene_rep: Scene, cam_rep: Camera):
+        i = jax.lax.axis_index(TRIS_AXIS)
+        geom = flatten_scene(scene_rep)
+        vp = cam_rep.view_proj()
+        clip = math3d.transform_points_h(geom.pos_w, vp)
+
+        # Triangle shard: static equal slices with a validity mask so the
+        # last shard's padding is inert.
+        num_t = geom.tris.shape[0]
+        shard = -(-num_t // n)
+        start = i * shard
+        tris_pad = jnp.pad(geom.tris, ((0, shard * n - num_t), (0, 0)))
+        local_tris = jax.lax.dynamic_slice_in_dim(tris_pad, start, shard, axis=0)
+        local_idx = start + jnp.arange(shard, dtype=jnp.int32)
+        local_valid = local_idx < num_t
+
+        tid_local, z_local = raster.rasterize(
+            clip,
+            local_tris,
+            width=width,
+            height=height,
+            tri_mask=local_valid,
+            return_depth=True,
+            **render_kwargs,
+        )
+        tid_global = jnp.where(tid_local >= 0, tid_local + start, -1)
+
+        if merge == "allgather":
+            zs = jax.lax.all_gather(z_local, TRIS_AXIS)  # (n, H, W)
+            ids = jax.lax.all_gather(tid_global, TRIS_AXIS)
+            k = jnp.argmin(zs, axis=0)
+            tid = jnp.take_along_axis(ids, k[None], axis=0)[0]
+        else:  # ring running-min merge
+            perm = [(j, (j + 1) % n) for j in range(n)]
+            best_z, best_id = z_local, tid_global
+            send_z, send_id = z_local, tid_global
+            for _ in range(n - 1):
+                send_z = jax.lax.ppermute(send_z, TRIS_AXIS, perm)
+                send_id = jax.lax.ppermute(send_id, TRIS_AXIS, perm)
+                take = send_z < best_z
+                best_z = jnp.where(take, send_z, best_z)
+                best_id = jnp.where(take, send_id, best_id)
+            tid = best_id
+
+        # Row-band shading of the merged id map (data parallel over pixels).
+        y0 = i * band
+        tid_band = jax.lax.dynamic_slice_in_dim(tid, y0, band, axis=0)
+
+        packed = jnp.concatenate(
+            [geom.pos_w, geom.normal_w, geom.tangent_w, geom.bitangent_w, geom.uv],
+            axis=-1,
+        )
+        attrs, _, mask = raster.interpolate_packed(
+            packed, clip, geom.tris, tid_band, width=width, height=height, y_offset=y0
+        )
+        hdr, opacity = shade_pixels(
+            pos_w=attrs[..., 0:3],
+            normal_w=attrs[..., 3:6],
+            tangent_w=attrs[..., 6:9],
+            bitangent_w=attrs[..., 9:12],
+            uv=attrs[..., 12:14],
+            material_id=geom.face_material[jnp.maximum(tid_band, 0)],
+            materials=scene_rep.materials,
+            atlas=scene_rep.atlas,
+            lights=scene_rep.lights,
+            ambient=scene_rep.ambient,
+            eye=cam_rep.position,
+            ibl=scene_rep.ibl,
+        )
+        rgb = tonemap_ops.tonemap(hdr)
+        if scene_rep.env_map is not None:
+            inv_vp = math3d.inverse(vp)
+            dirs = sky_ops.camera_ray_directions(inv_vp, width, height, band, y0)
+            bg = tonemap_ops.tonemap(sky_ops.sample_sky(scene_rep.env_map, dirs))
+        else:
+            bg = jnp.broadcast_to(scene_rep.clear_color, (band, width, 3))
+        m = mask[..., None].astype(jnp.float32)
+        out_rgb = m * rgb + (1.0 - m) * bg
+        alpha = m[..., 0] * opacity + (1.0 - m[..., 0])
+        return jnp.concatenate([out_rgb, alpha[..., None]], axis=-1)
+
+    return _render(scene, camera)

@@ -240,16 +240,30 @@ def render(
     else:
         raise ValueError(f"unknown raster_backend {raster_backend!r}")
 
-    bary_p, _bary_s, _depth, mask = raster.compute_barycentrics(
-        clip, geom.tris, tri_id, width=width, height=height, y_offset=y_offset
+    # Static channel specialisation (the shader-permutation idea applied to
+    # the G-buffer): untextured scenes skip tangent/bitangent/uv entirely —
+    # the corner gather is the deferred stage's dominant cost.
+    textured = scene.atlas is not None
+    if textured:
+        packed = jnp.concatenate(
+            [geom.pos_w, geom.normal_w, geom.tangent_w, geom.bitangent_w, geom.uv],
+            axis=-1,
+        )  # (V, 14)
+    else:
+        packed = jnp.concatenate([geom.pos_w, geom.normal_w], axis=-1)  # (V, 6)
+    attrs, _depth, mask = raster.interpolate_packed(
+        packed, clip, geom.tris, tri_id, width=width, height=height, y_offset=y_offset
     )
-
-    interp = lambda attr: raster.interpolate(attr, geom.tris, tri_id, bary_p)
-    pos_w = interp(geom.pos_w)
-    normal_w = interp(geom.normal_w)
-    tangent_w = interp(geom.tangent_w)
-    bitangent_w = interp(geom.bitangent_w)
-    uv = interp(geom.uv)
+    pos_w = attrs[..., 0:3]
+    normal_w = attrs[..., 3:6]
+    if textured:
+        tangent_w = attrs[..., 6:9]
+        bitangent_w = attrs[..., 9:12]
+        uv = attrs[..., 12:14]
+    else:
+        tangent_w = normal_w  # unused by the untextured shading path
+        bitangent_w = normal_w
+        uv = attrs[..., 0:2] * 0.0
     pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
 
     hdr, opacity = shade_pixels(
@@ -317,18 +331,22 @@ def render_layered(
     face_transparent = scene.materials.transparent[geom.face_material] > 0.5
     solid_mask = ~face_transparent
 
+    packed = jnp.concatenate(
+        [geom.pos_w, geom.normal_w, geom.tangent_w, geom.bitangent_w, geom.uv],
+        axis=-1,
+    )
+
     def shade_at(tri_id):
-        bary_p, _, _, _ = raster.compute_barycentrics(
-            clip, geom.tris, tri_id, width=width, height=height
+        attrs, _, _ = raster.interpolate_packed(
+            packed, clip, geom.tris, tri_id, width=width, height=height
         )
-        interp = lambda attr: raster.interpolate(attr, geom.tris, tri_id, bary_p)
         pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
         hdr, opacity = shade_pixels(
-            pos_w=interp(geom.pos_w),
-            normal_w=interp(geom.normal_w),
-            tangent_w=interp(geom.tangent_w),
-            bitangent_w=interp(geom.bitangent_w),
-            uv=interp(geom.uv),
+            pos_w=attrs[..., 0:3],
+            normal_w=attrs[..., 3:6],
+            tangent_w=attrs[..., 6:9],
+            bitangent_w=attrs[..., 9:12],
+            uv=attrs[..., 12:14],
             material_id=pix_mat,
             materials=scene.materials,
             atlas=scene.atlas,

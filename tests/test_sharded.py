@@ -76,3 +76,23 @@ def test_sharded_grads_match_single_device():
     g1 = float(jax.jit(jax.grad(loss_single))(0.4))
     g2 = float(jax.jit(jax.grad(loss_sharded))(0.4))
     np.testing.assert_allclose(g1, g2, rtol=1e-5)
+
+
+def test_tri_sharded_matches_single_device():
+    scene = scenes.analytic_sphere_scene(slices=24, stacks=12)
+    cam = Camera.create(aspect=W / H)
+    mesh = sharded.make_tri_mesh()
+    import functools
+
+    for merge in ("ring", "allgather"):
+        fn = jax.jit(
+            functools.partial(
+                sharded.render_tri_sharded, mesh=mesh, width=W, height=H, merge=merge
+            )
+        )
+        img_sharded = fn(scene, cam)
+        img_single = render(scene, cam, width=W, height=H, raster_backend="jnp")
+        np.testing.assert_allclose(
+            np.asarray(img_sharded), np.asarray(img_single), atol=1e-6,
+            err_msg=merge,
+        )
