@@ -24,6 +24,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the fwd+bwd program takes minutes to compile
+# through the TPU tunnel; cached recompiles are ~free across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 BASELINE_PIXELS_PER_S = 1920 * 1080 * 60.0  # 60 fps @ 1080p, forward-only
 
 WIDTH, HEIGHT = 1920, 1080

@@ -75,6 +75,8 @@ class Scene:
     env_map: jnp.ndarray | None = None  # (He, We, 3) equirect HDR sky
     ibl: IBLMaps | None = None  # precomputed irradiance/specular/LUT (replaces
     # the constant-ambient term when set — the reference's g_SkyArray[1] slot)
+    combined_atlas: object | None = None  # CombinedAtlas — the fast one-gather
+    # texture path (build with .with_combined_textures())
     clear_color: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
     )  # PBRApp.cpp:274
@@ -83,6 +85,15 @@ class Scene:
         """Precompute IBL maps from env_map (requires env_map)."""
         assert self.env_map is not None, "scene has no environment map"
         return dataclasses.replace(self, ibl=IBLMaps.build(self.env_map))
+
+    def with_combined_textures(self) -> "Scene":
+        """Bake per-material combined texture pages (one-gather sampling)."""
+        assert self.atlas is not None, "scene has no texture atlas"
+        from ..ops.texture_combined import build_combined
+
+        return dataclasses.replace(
+            self, combined_atlas=build_combined(self.materials, self.atlas)
+        )
 
 
 @jax.tree_util.register_dataclass

@@ -511,8 +511,11 @@ def interpolate_packed(
     )  # (V, C+4)
     c = packed_attrs.shape[-1]
 
-    corner = tris[jnp.maximum(tri_id, 0)]  # (H,W,3)
-    data = packed[corner]  # (H,W,3,C+4) — the single gather
+    # TPU gathers are latency-bound per ROW (~8 ns regardless of row width),
+    # so repack per-TRIANGLE (all 3 corners side by side, built with 3 cheap
+    # T-sized gathers) and fetch ONE wide row per pixel instead of three.
+    tri_table = packed[tris].reshape(tris.shape[0], 3 * (c + 4))  # (T, 3(C+4))
+    data = tri_table[jnp.maximum(tri_id, 0)].reshape(*tri_id.shape, 3, c + 4)
     xy = data[..., c : c + 2]
     z = data[..., c + 2]
     inv_w = data[..., c + 3]

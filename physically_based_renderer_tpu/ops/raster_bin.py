@@ -36,8 +36,9 @@ from .raster import ScreenTris, _edge_coeffs, setup_triangles
 # 6-8: c0,c1,c2   edge values at corner v0
 # 9,10: x0, y0    corner v0 pixel coords
 # 11-13: za,zb,zc depth plane: z(p) = za·dx + zb·dy + zc
-# 14: spare, 15: spare (pad to 16 sublanes)
+# 14: material id (as float; exact for ids < 2^24), 15: spare
 NUM_FIELDS = 16
+FIELD_MATERIAL = 14
 
 
 @jax.tree_util.register_dataclass
@@ -52,7 +53,9 @@ class BinnedTris:
     overflowed: jnp.ndarray  # () bool — pair capacity exceeded (pairs dropped)
 
 
-def pack_triangle_fields(st: ScreenTris) -> jnp.ndarray:
+def pack_triangle_fields(
+    st: ScreenTris, face_material: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Per-triangle kernel constants, (T, NUM_FIELDS) f32."""
     a, b, c0, x0, y0 = _edge_coeffs(st)  # (T,3)*3, (T,), (T,)
     inv_area = 1.0 / jnp.abs(st.area)
@@ -60,6 +63,7 @@ def pack_triangle_fields(st: ScreenTris) -> jnp.ndarray:
     zb = jnp.sum(b * st.z, axis=-1) * inv_area
     zc = jnp.sum(c0 * st.z, axis=-1) * inv_area
     zero = jnp.zeros_like(x0)
+    mat = zero if face_material is None else face_material.astype(jnp.float32)
     return jnp.stack(
         [
             a[:, 0], a[:, 1], a[:, 2],
@@ -67,7 +71,7 @@ def pack_triangle_fields(st: ScreenTris) -> jnp.ndarray:
             c0[:, 0], c0[:, 1], c0[:, 2],
             x0, y0,
             za, zb, zc,
-            zero, zero,
+            mat, zero,
         ],
         axis=-1,
     )
@@ -98,6 +102,7 @@ def bin_triangles(
     max_span: int = 8,
     pairs_cap: int | None = None,
     chunk: int = 128,
+    face_material: jnp.ndarray | None = None,
 ) -> BinnedTris:
     """Bin into the tile grid of the row band [y_offset, y_offset+rows) of a
     width×height viewport (full frame by default)."""
@@ -195,7 +200,7 @@ def bin_triangles(
 
     # Pre-gather packed fields per pair, field-major; pad by one chunk so the
     # kernel's fixed-size chunk DMA never reads out of bounds.
-    fields = pack_triangle_fields(st)  # (T, NUM_FIELDS)
+    fields = pack_triangle_fields(st, face_material)  # (T, NUM_FIELDS)
     safe_tri = jnp.maximum(sorted_tri, 0)
     packed = fields[safe_tri].T  # (NUM_FIELDS, PAIRS)
     packed = jnp.pad(packed, ((0, 0), (0, chunk)))

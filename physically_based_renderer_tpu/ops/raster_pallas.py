@@ -41,7 +41,7 @@ def _raster_tile_kernel(
     packed_ref,  # (NUM_FIELDS, PAIRS_pad) f32
     ids_ref,  # (1, PAIRS_pad) i32
     # output (VMEM block per tile)
-    out_ref,  # (1, tile_h, tile_w) i32
+    out_ref,  # (1, tile_h, tile_w) i32 — encoded tid*mat_stride+mat (−1 bg)
     # scratch
     fbuf,  # (2, NUM_FIELDS, CHUNK) f32 VMEM — double-buffered
     ibuf,  # (2, 1, CHUNK) i32 VMEM
@@ -53,6 +53,7 @@ def _raster_tile_kernel(
     tile_h: int,
     tile_w: int,
     tiles_x: int,
+    mat_stride: int,
 ):
     p = tile_h * tile_w
     i = pl.program_id(0)
@@ -128,11 +129,17 @@ def _raster_tile_kernel(
             zm = jnp.where(ok, z, jnp.inf)
 
             zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
-            # Winner id = smallest tid among lanes achieving the min. Pairs
-            # are tile-sorted in ascending tri id (= draw order), so min-id
-            # ties reproduce first-drawn-wins.
+            # Winner = smallest (tid, material) code among lanes achieving
+            # the min. Pairs are tile-sorted ascending in tri id (= draw
+            # order), so min-code ties reproduce first-drawn-wins; encoding
+            # the material id in the code makes the per-pixel material
+            # lookup FREE (TPU XLA gathers are latency-bound and slow).
+            if mat_stride > 1:
+                code = tid * mat_stride + f[14:15, :].astype(jnp.int32)
+            else:
+                code = tid
             win_id = jnp.min(
-                jnp.where(zm <= zmin, tid, jnp.int32(0x7FFFFFFF)),
+                jnp.where(zm <= zmin, code, jnp.int32(0x7FFFFFFF)),
                 axis=1,
                 keepdims=True,
             )
@@ -171,6 +178,7 @@ def _raster_tile_kernel(
         "max_span",
         "pairs_cap",
         "cull_backface",
+        "num_materials",
         "interpret",
     ),
 )
@@ -188,16 +196,32 @@ def rasterize_binned(
     pairs_cap: int | None = None,
     cull_backface: bool = True,
     tri_mask: jnp.ndarray | None = None,
+    face_material: jnp.ndarray | None = None,
+    num_materials: int = 0,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Binned Pallas rasterization → (rows, width) i32 triangle ids.
 
     Same contract as ``raster.rasterize`` (full viewport projection,
     optional row band). ``interpret=True`` runs the kernel in interpreter
-    mode (CPU testing)."""
+    mode (CPU testing).
+
+    With ``face_material`` (T,) + static ``num_materials``, returns
+    (tri_id, material_id) — the material resolve rides the kernel's winner
+    reduction for free instead of a slow XLA gather."""
     if rows is None:
         rows = height
     y_offset = jnp.asarray(y_offset, jnp.int32)
+
+    want_material = face_material is not None
+    mat_stride = 1
+    encode_material = False
+    if want_material:
+        assert num_materials > 0, "pass static num_materials with face_material"
+        mat_stride = 1 << max(1, (num_materials - 1).bit_length())
+        encode_material = tris.shape[0] * mat_stride < (1 << 31)
+        if not encode_material:
+            mat_stride = 1  # fallback: resolve material by XLA gather below
 
     st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
     binned = bin_triangles(
@@ -211,6 +235,7 @@ def rasterize_binned(
         max_span=max_span,
         pairs_cap=pairs_cap,
         chunk=CHUNK,
+        face_material=face_material if encode_material else None,
     )
 
     tiles_x = -(-width // tile_w)
@@ -239,7 +264,11 @@ def rasterize_binned(
     )
 
     kernel = functools.partial(
-        _raster_tile_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x
+        _raster_tile_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        mat_stride=mat_stride if encode_material else 1,
     )
     tile_out = pl.pallas_call(
         kernel,
@@ -257,5 +286,14 @@ def rasterize_binned(
         tile_out.reshape(tiles_y, tiles_x, tile_h, tile_w)
         .transpose(0, 2, 1, 3)
         .reshape(tiles_y * tile_h, tiles_x * tile_w)
-    )
-    return img[:rows, :width]
+    )[:rows, :width]
+    if want_material:
+        if encode_material:
+            bg = img < 0
+            tri_id = jnp.where(bg, -1, img // mat_stride)
+            mat_id = jnp.where(bg, 0, img % mat_stride)
+        else:
+            tri_id = img
+            mat_id = face_material[jnp.maximum(img, 0)]
+        return tri_id, mat_id
+    return img

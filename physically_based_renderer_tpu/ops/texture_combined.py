@@ -1,0 +1,130 @@
+"""Combined per-material shading textures: one gather for all slots.
+
+TPU-specific optimisation of the texture stage: XLA gathers are
+latency-bound (~10⁸/s), so five separate slot samples × 4 bilinear taps per
+pixel dominate textured-shading time. Because every slot samples the SAME
+transformed uv (one g_MatTransform per material — Core.hlsl:64), all slot
+channels can be baked side-by-side into one page per textured material:
+
+    channels 0-2  albedo.rgb      (sRGB-decoded)
+    channels 3-5  specular.rgb    (sRGB-decoded; 0 where unbound)
+    channel  6    metallic
+    channel  7    roughness
+    channels 8-10 normal.xyz
+    channel  11   opacity
+    channels 12-15 pad
+
+One 4-tap gather of 16-wide rows then feeds the whole material sample; the
+per-material has_tex masks still choose texture-vs-constant per slot, so the
+semantics are bit-identical to the separate-atlas path. The bake is a pure
+jnp function of the slot atlas → texel gradients still flow (optimise either
+representation).
+
+Only materials that bind at least one texture get a combined page; analytic
+materials share page 0 (never read — masked).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..models.material import (
+    MaterialBank,
+    SLOT_DIFFUSE,
+    SLOT_METALLIC,
+    SLOT_NORMAL,
+    SLOT_OPACITY,
+    SLOT_ROUGHNESS,
+    SLOT_SPECULAR,
+)
+from .texture import TextureAtlas
+
+NUM_COMBINED = 16
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CombinedAtlas:
+    """(P, S, S, NUM_COMBINED) pages + per-material page index."""
+
+    pages: jnp.ndarray  # (P, S, S, 16)
+    material_page: jnp.ndarray  # (M,) i32 — 0 for analytic materials
+
+    @property
+    def size(self) -> int:
+        return self.pages.shape[1]
+
+
+def build_combined(materials: MaterialBank, atlas: TextureAtlas) -> CombinedAtlas:
+    """Bake the combined pages (differentiable in the slot atlas texels)."""
+    m = materials
+    num_m = m.num_materials
+    base = atlas.mips[0]  # (N, S, S, 4)
+    s = base.shape[1]
+
+    import numpy as np
+
+    has = np.asarray(m.has_tex)
+    textured_rows = np.nonzero(has.sum(axis=1) > 0)[0]
+    num_pages = max(1, len(textured_rows))
+
+    material_page = np.zeros((num_m,), np.int32)
+    for p, row in enumerate(textured_rows):
+        material_page[row] = p
+
+    def page_for(row):
+        def slot_tex(slot, channels):
+            page = m.tex_index[row, slot]
+            tex = base[page]  # (S,S,4)
+            present = m.has_tex[row, slot]
+            return tex[..., :channels] * present
+
+        albedo = slot_tex(SLOT_DIFFUSE, 3)
+        spec = slot_tex(SLOT_SPECULAR, 3)
+        metal = slot_tex(SLOT_METALLIC, 1)
+        rough = slot_tex(SLOT_ROUGHNESS, 1)
+        normal = slot_tex(SLOT_NORMAL, 3)
+        opac = slot_tex(SLOT_OPACITY, 1)
+        pad = jnp.zeros((s, s, 4), base.dtype)
+        return jnp.concatenate([albedo, spec, metal, rough, normal, opac, pad], axis=-1)
+
+    pages = jnp.stack([page_for(int(r)) for r in (textured_rows if len(textured_rows) else [0])])
+    return CombinedAtlas(pages=pages, material_page=jnp.asarray(material_page))
+
+
+def sample_combined(
+    combined: CombinedAtlas, material_id: jnp.ndarray, uv: jnp.ndarray, wrap: bool = True
+) -> jnp.ndarray:
+    """Bilinear sample of the combined page for each pixel's material.
+    uv (..., 2) → (..., NUM_COMBINED). One 4-tap gather total."""
+    pages = combined.pages
+    s = pages.shape[1]
+    page = combined.material_page[material_id]
+
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    if wrap:
+        x0w, x1w = jnp.mod(x0, s), jnp.mod(x0 + 1, s)
+        y0w, y1w = jnp.mod(y0, s), jnp.mod(y0 + 1, s)
+    else:
+        x0w, x1w = jnp.clip(x0, 0, s - 1), jnp.clip(x0 + 1, 0, s - 1)
+        y0w, y1w = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
+
+    flat = pages.reshape(-1, NUM_COMBINED)
+    idx = (page * s + y0w) * s
+    t00 = flat[idx + x0w]
+    t01 = flat[idx + x1w]
+    idx1 = (page * s + y1w) * s
+    t10 = flat[idx1 + x0w]
+    t11 = flat[idx1 + x1w]
+    top = t00 * (1.0 - fx) + t01 * fx
+    bot = t10 * (1.0 - fx) + t11 * fx
+    return (top * (1.0 - fy) + bot * fy).astype(jnp.float32)

@@ -268,6 +268,7 @@ def render_tri_sharded(
             ambient=scene_rep.ambient,
             eye=cam_rep.position,
             ibl=scene_rep.ibl,
+            combined=scene_rep.combined_atlas,
         )
         rgb = tonemap_ops.tonemap(hdr)
         if scene_rep.env_map is not None:

@@ -52,6 +52,7 @@ from .ops import (
 from .ops.brdf import Lights, MaterialSample, compute_lighting, normal_sample_to_world_space
 from .ops.ibl import IBLMaps, ambient_ibl
 from .ops.texture import TextureAtlas, sample_atlas
+from .ops.texture_combined import CombinedAtlas, sample_combined
 
 
 def shade_pixels(
@@ -68,6 +69,7 @@ def shade_pixels(
     ambient: jnp.ndarray,  # (3,)
     eye: jnp.ndarray,  # (3,)
     ibl: IBLMaps | None = None,
+    combined: CombinedAtlas | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The PS stage (``Default.hlsl:47-161``) over arbitrary pixel batch dims.
 
@@ -96,18 +98,29 @@ def shade_pixels(
     c_roughness = materials.roughness[mid]
     c_opacity = materials.opacity[mid]
 
-    if atlas is not None:
-        pages = materials.tex_index[mid]  # (..., 12)
+    if combined is not None or atlas is not None:
         has = materials.has_tex[mid]  # (..., 12)
+        if combined is not None:
+            # One 4-tap gather for every slot (see ops/texture_combined.py).
+            smp = sample_combined(combined, mid, uv_t)
+            t_diffuse = smp[..., 0:3]
+            t_specular = smp[..., 3:6]
+            t_metallic = smp[..., 6:7]
+            t_roughness = smp[..., 7:8]
+            t_normal = smp[..., 8:11]
+            t_opacity = smp[..., 11:12]
+        else:
+            pages = materials.tex_index[mid]  # (..., 12)
 
-        def tex(slot):
-            return sample_atlas(atlas, pages[..., slot], uv_t)
+            def tex(slot):
+                return sample_atlas(atlas, pages[..., slot], uv_t)
 
-        t_diffuse = tex(SLOT_DIFFUSE)
-        t_specular = tex(SLOT_SPECULAR)
-        t_metallic = tex(SLOT_METALLIC)
-        t_roughness = tex(SLOT_ROUGHNESS)
-        t_normal = tex(SLOT_NORMAL)
+            t_diffuse = tex(SLOT_DIFFUSE)
+            t_specular = tex(SLOT_SPECULAR)
+            t_metallic = tex(SLOT_METALLIC)
+            t_roughness = tex(SLOT_ROUGHNESS)
+            t_normal = tex(SLOT_NORMAL)
+            t_opacity = tex(SLOT_OPACITY)
 
         h = lambda s: has[..., s : s + 1]
         albedo = h(SLOT_DIFFUSE) * t_diffuse[..., :3] + (1.0 - h(SLOT_DIFFUSE)) * c_diffuse
@@ -130,7 +143,6 @@ def shade_pixels(
         )
         n = h(SLOT_NORMAL) * n_mapped + (1.0 - h(SLOT_NORMAL)) * n_geom
         # Alpha test (Default.hlsl:111-116): opacity from map where bound.
-        t_opacity = tex(SLOT_OPACITY)
         opacity = (
             has[..., SLOT_OPACITY] * t_opacity[..., 0]
             + (1.0 - has[..., SLOT_OPACITY]) * c_opacity
@@ -206,13 +218,14 @@ def render(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
 
+    pix_mat_k = None
     if backend == "brute":
         assert rows == height, "brute rasterizer renders full frames only"
         tri_id = raster.rasterize_brute(
             clip, geom.tris, width=width, height=height, cull_backface=cull_backface
         )
     elif backend in ("pallas", "pallas_interpret"):
-        tri_id = raster_pallas.rasterize_binned(
+        tri_id, pix_mat_k = raster_pallas.rasterize_binned(
             clip,
             geom.tris,
             width=width,
@@ -222,6 +235,8 @@ def render(
             tile_h=tile_h if tile_h is not None else 16,
             tile_w=tile_w,
             cull_backface=cull_backface,
+            face_material=geom.face_material,
+            num_materials=scene.materials.num_materials,
             interpret=(backend == "pallas_interpret"),
         )
     elif backend == "jnp":
@@ -264,7 +279,10 @@ def render(
         tangent_w = normal_w  # unused by the untextured shading path
         bitangent_w = normal_w
         uv = attrs[..., 0:2] * 0.0
-    pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
+    if backend in ("pallas", "pallas_interpret") and pix_mat_k is not None:
+        pix_mat = pix_mat_k  # resolved inside the raster kernel (free)
+    else:
+        pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
 
     hdr, opacity = shade_pixels(
         pos_w=pos_w,
@@ -279,6 +297,7 @@ def render(
         ambient=scene.ambient,
         eye=camera.position,
         ibl=scene.ibl,
+        combined=scene.combined_atlas,
     )
 
     if apply_tonemap:
@@ -354,6 +373,7 @@ def render_layered(
             ambient=scene.ambient,
             eye=camera.position,
             ibl=scene.ibl,
+            combined=scene.combined_atlas,
         )
         color = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
         return color, opacity, pix_mat
@@ -487,6 +507,7 @@ def render_soft(
             ambient=scene.ambient,
             eye=camera.position,
             ibl=scene.ibl,
+            combined=scene.combined_atlas,
         )
         color = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
         sd = raster_soft.signed_distance_px(

@@ -83,3 +83,30 @@ def test_render_pallas_backend_matches_jnp():
     a = render(scene, cam, width=W, height=H, raster_backend="jnp")
     b = render(scene, cam, width=W, height=H, raster_backend="pallas_interpret")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_material_resolve_matches_gather():
+    from physically_based_renderer_tpu import scenes
+    from physically_based_renderer_tpu.models.scene import flatten_scene
+
+    scene = scenes.red_sphere_grid_scene(slices=12, stacks=6)
+    cam = Camera.create(position=(0.0, -5.0, -16.0), aspect=W / H)
+    geom = flatten_scene(scene)
+    clip = math3d.transform_points_h(geom.pos_w, cam.view_proj())
+    tid, mat = rasterize_binned(
+        clip,
+        geom.tris,
+        width=W,
+        height=H,
+        face_material=geom.face_material,
+        num_materials=scene.materials.num_materials,
+        interpret=True,
+    )
+    expect_tid = rasterize_binned(clip, geom.tris, width=W, height=H, interpret=True)
+    np.testing.assert_array_equal(np.asarray(tid), np.asarray(expect_tid))
+    expect_mat = np.where(
+        np.asarray(tid) >= 0,
+        np.asarray(geom.face_material)[np.maximum(np.asarray(tid), 0)],
+        0,
+    )
+    np.testing.assert_array_equal(np.asarray(mat), expect_mat)

@@ -96,3 +96,28 @@ def test_tri_sharded_matches_single_device():
             np.asarray(img_sharded), np.asarray(img_single), atol=1e-6,
             err_msg=merge,
         )
+
+
+def test_scaling_harness_runs():
+    from physically_based_renderer_tpu.parallel import distributed
+
+    scene = scenes.analytic_sphere_scene(slices=8, stacks=4)
+    cam = Camera.create(aspect=1.0)
+    results = distributed.measure_scaling(
+        scene, cam, width=128, height=64, device_counts=[1, 2], iters=2
+    )
+    assert len(results) == 2
+    assert results[0].devices == 1 and results[1].devices == 2
+    assert all(r.pixels_per_s > 0 for r in results)
+
+
+def test_fetch_image():
+    from physically_based_renderer_tpu.parallel import distributed
+
+    scene = scenes.analytic_sphere_scene(slices=8, stacks=4)
+    cam = Camera.create(aspect=1.0)
+    mesh = sharded.make_render_mesh()
+    img = sharded.render_sharded(scene, cam, mesh=mesh, width=128, height=64)
+    host = distributed.fetch_image(img)
+    assert host.shape == (64, 128, 4)
+    assert np.isfinite(host).all()

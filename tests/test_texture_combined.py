@@ -1,0 +1,75 @@
+"""Combined-atlas texture path must be bit-equivalent to per-slot sampling."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from physically_based_renderer_tpu import Camera, render, scenes
+from physically_based_renderer_tpu.ops.texture_combined import build_combined
+
+W, H = 128, 96
+
+
+def _textured_scene():
+    # Synthetic atlas so the test runs without the reference assets.
+    rng = np.random.default_rng(0)
+    from physically_based_renderer_tpu import InstancedDraw, MaterialBuilder, Scene, sphere_mesh
+    from physically_based_renderer_tpu.ops.brdf import Lights
+    from physically_based_renderer_tpu.ops.texture import build_atlas
+
+    pages = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32) for _ in range(4)]
+    atlas = build_atlas(pages, [True, False, False, False], size=32)
+    mb = MaterialBuilder()
+    mb.add(
+        "tex",
+        textures={"diffuse": 0, "metallic": 1, "roughness": 2, "normal": 3},
+    )
+    mb.add("plain", diffuse=(0.2, 0.9, 0.1), roughness=0.3)
+    mesh = sphere_mesh(1.0, 16, 8)
+    from physically_based_renderer_tpu.models.scene import translation_world
+
+    return Scene(
+        draws=(
+            InstancedDraw.create(
+                mesh,
+                np.stack([translation_world(-1.2, 0, 0), translation_world(1.2, 0, 0)]),
+                [0, 1],
+            ),
+        ),
+        materials=mb.build(),
+        atlas=atlas,
+        lights=Lights.default_scene_lights(),
+        ambient=jnp.asarray([0.03, 0.03, 0.03]),
+    )
+
+
+def test_combined_matches_separate():
+    scene = _textured_scene()
+    cam = Camera.create(aspect=W / H)
+    a = render(scene, cam, width=W, height=H)
+    b = render(scene.with_combined_textures(), cam, width=W, height=H)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_combined_pages_only_for_textured():
+    scene = _textured_scene()
+    combined = build_combined(scene.materials, scene.atlas)
+    assert combined.pages.shape[0] == 1  # one textured material
+    assert int(combined.material_page[0]) == 0
+    assert int(combined.material_page[1]) == 0  # analytic shares page 0 (masked)
+
+
+def test_combined_texel_gradients():
+    scene = _textured_scene().with_combined_textures()
+    cam = Camera.create(aspect=W / H)
+
+    def loss(pages):
+        c = dataclasses.replace(scene.combined_atlas, pages=pages)
+        s = dataclasses.replace(scene, combined_atlas=c)
+        return jnp.mean(render(s, cam, width=W, height=H)[..., :3])
+
+    g = jax.grad(loss)(scene.combined_atlas.pages)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
