@@ -322,6 +322,54 @@ def render(
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "factor", "apply_tonemap"))
+def render_ssaa(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    factor: int = 2,
+    apply_tonemap: bool = True,
+) -> jnp.ndarray:
+    """Anti-aliased render by ordered supersampling: render at factor× in
+    each dimension and box-filter down — the TPU analog of the reference's
+    4×MSAA toggle (F2, ``d3dApp.cpp:380-383``; factor=2 ≈ 4×MSAA)."""
+    img = render(
+        scene,
+        camera,
+        width=width * factor,
+        height=height * factor,
+        apply_tonemap=apply_tonemap,
+    )
+    return img.reshape(height, factor, width, factor, 4).mean(axis=(1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "thickness_px"))
+def render_wireframe(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    thickness_px: float = 0.7,
+    line_color=(0.05, 0.05, 0.05),
+) -> jnp.ndarray:
+    """Wireframe render — the F1 debug toggle (``d3dApp.cpp:376-379``,
+    wireframe PSO at ``PBRApp.cpp:878-881``). Hard-rasterizes, then marks
+    pixels within ``thickness_px`` of their triangle's boundary."""
+    geom = flatten_scene(scene)
+    vp = camera.view_proj()
+    clip = math3d.transform_points_h(geom.pos_w, vp)
+    tri_id = raster.rasterize(clip, geom.tris, width=width, height=height)
+    sd = raster_soft.signed_distance_px(clip, geom.tris, tri_id, width=width, height=height)
+    on_wire = (tri_id >= 0) & (sd < thickness_px)
+    bg = jnp.broadcast_to(scene.clear_color, (height, width, 3))
+    line = jnp.asarray(line_color, jnp.float32)
+    rgb = jnp.where(on_wire[..., None], line, bg)
+    return jnp.concatenate([rgb, jnp.ones((height, width, 1))], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "solid_layers", "transparent_layers", "apply_tonemap"),

@@ -87,3 +87,67 @@ def test_merge_meshes():
     assert merged.num_triangles == a.num_triangles + b.num_triangles
     assert (sub[: a.num_triangles] == 0).all() and (sub[a.num_triangles :] == 1).all()
     assert np.asarray(merged.tris).max() < merged.num_vertices
+
+
+def test_quad_grid_box():
+    from physically_based_renderer_tpu.models.mesh import box_mesh, grid_mesh, quad_mesh
+
+    q = quad_mesh(2.0, 2.0)
+    assert q.num_vertices == 4 and q.num_triangles == 2
+    g = grid_mesh(4.0, 4.0, 5, 7)
+    assert g.num_vertices == 35 and g.num_triangles == 2 * 4 * 6
+    b = box_mesh(1.0, 2.0, 3.0)
+    assert b.num_vertices == 24 and b.num_triangles == 12
+    p = np.asarray(b.positions)
+    assert np.allclose(np.abs(p).max(axis=0), [0.5, 1.0, 1.5])
+    # normals unit & axis-aligned
+    n = np.asarray(b.normals)
+    assert np.allclose(np.abs(n).sum(axis=1), 1.0)
+
+
+def test_geosphere():
+    from physically_based_renderer_tpu.models.mesh import geosphere_mesh
+
+    m = geosphere_mesh(2.0, subdivisions=2)
+    p = np.asarray(m.positions)
+    np.testing.assert_allclose(np.linalg.norm(p, axis=1), 2.0, rtol=1e-5)
+    assert m.num_triangles == 20 * 4**2
+    # closed manifold: every edge shared exactly twice
+    tris = np.asarray(m.tris)
+    edges = {}
+    for a, b, c in tris:
+        for u, v in ((a, b), (b, c), (c, a)):
+            edges[(min(u, v), max(u, v))] = edges.get((min(u, v), max(u, v)), 0) + 1
+    assert set(edges.values()) == {2}
+
+
+def test_cylinder_capsule():
+    from physically_based_renderer_tpu.models.mesh import capsule_mesh, cylinder_mesh
+
+    c = cylinder_mesh(0.5, 0.5, 2.0, slices=16, stacks=2)
+    p = np.asarray(c.positions)
+    assert np.isclose(np.abs(p[:, 1]).max(), 1.0)
+    side = np.abs(np.linalg.norm(p[:, [0, 2]], axis=1) - 0.5) < 1e-5
+    assert side.sum() > 16
+    cap = capsule_mesh(0.5, 1.0, slices=12, stacks=6)
+    p = np.asarray(cap.positions)
+    assert np.isclose(p[:, 1].max(), 1.0) and np.isclose(p[:, 1].min(), -1.0)
+
+
+def test_generated_meshes_render():
+    import dataclasses
+    import jax.numpy as jnp
+    from physically_based_renderer_tpu import Camera, render, scenes
+    from physically_based_renderer_tpu.models.mesh import (
+        box_mesh, capsule_mesh, cylinder_mesh, geosphere_mesh,
+    )
+
+    cam = Camera.create(aspect=1.0)
+    base = scenes.analytic_sphere_scene(slices=8, stacks=4)
+    for mesh in (box_mesh(), geosphere_mesh(subdivisions=1), cylinder_mesh(), capsule_mesh()):
+        draw = dataclasses.replace(base.draws[0], mesh=mesh)
+        s = dataclasses.replace(base, draws=(draw,))
+        img = np.asarray(render(s, cam, width=64, height=64))
+        assert np.isfinite(img).all()
+        covered = (np.abs(img[..., :3] - 0.5).max(-1) > 1e-6).mean()
+        assert covered > 0.02, covered
