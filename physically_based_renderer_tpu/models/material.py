@@ -79,6 +79,9 @@ class MaterialBank:
     # 1.0 for blended materials (the Transparent render layer: SrcAlpha /
     # InvSrcAlpha, CULL_NONE — PBRApp.cpp:830-844)
     transparent: jnp.ndarray  # (M,) f32
+    # Static feature flag: any material binds a displacement map → the
+    # parallax uv-offset path compiles in (otherwise zero cost).
+    any_displacement: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def num_materials(self) -> int:
@@ -177,4 +180,7 @@ class MaterialBuilder:
             has_tex=col("has_tex"),
             alpha_test=col("alpha_test"),
             transparent=col("transparent"),
+            any_displacement=any(
+                r["has_tex"][SLOT_DISPLACEMENT] > 0 for r in self._rows
+            ),
         )

@@ -35,6 +35,7 @@ from .camera import Camera
 from .models.material import (
     MaterialBank,
     SLOT_DIFFUSE,
+    SLOT_DISPLACEMENT,
     SLOT_METALLIC,
     SLOT_NORMAL,
     SLOT_OPACITY,
@@ -100,6 +101,31 @@ def shade_pixels(
 
     if combined is not None or atlas is not None:
         has = materials.has_tex[mid]  # (..., 12)
+
+        # Parallax offset mapping — the displacement path the reference left
+        # commented out (Default.hlsl:55-69), completed here: offset the uv
+        # by the tangent-space view direction scaled by sampled height.
+        # Only active for materials binding a displacement map (mask), and
+        # only available on the per-slot atlas (the combined bake has no
+        # displacement channel; parallax-displaced uv would invalidate the
+        # single-fetch assumption anyway).
+        if atlas is not None and materials.any_displacement:  # static gate
+            h_disp = has[..., SLOT_DISPLACEMENT]
+            t_height = sample_atlas(
+                atlas, materials.tex_index[mid][..., SLOT_DISPLACEMENT], uv_t
+            )[..., 0]
+            # V in tangent space: rows of TBN are T, B, N (row-vector mul)
+            v_tan = jnp.stack(
+                [
+                    math3d.dot(v, math3d.normalize(tangent_w)),
+                    math3d.dot(v, math3d.normalize(bitangent_w)),
+                ],
+                axis=-1,
+            )
+            h_scale = materials.height_scale[mid]
+            uv_off = v_tan * (t_height * h_scale)[..., None]
+            uv_t = uv_t - h_disp[..., None] * uv_off
+
         if combined is not None:
             # One 4-tap gather for every slot (see ops/texture_combined.py).
             smp = sample_combined(combined, mid, uv_t)

@@ -73,3 +73,44 @@ def test_combined_texel_gradients():
     g = jax.grad(loss)(scene.combined_atlas.pages)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_parallax_displacement():
+    """Displacement-mapped material shifts its sampled uv (the completed
+    Default.hlsl:55-69 path); flat height map with scale 0 is a no-op."""
+    rng = np.random.default_rng(3)
+    from physically_based_renderer_tpu import InstancedDraw, MaterialBuilder, Scene, sphere_mesh
+    from physically_based_renderer_tpu.ops.brdf import Lights
+    from physically_based_renderer_tpu.ops.texture import build_atlas
+
+    size = 32
+    alb = rng.uniform(0, 1, (size, size, 3)).astype(np.float32)
+    height_map = rng.uniform(0, 1, (size, size, 3)).astype(np.float32)
+    atlas = build_atlas([alb, height_map], [False, False], size=size)
+
+    def scene_with(height_scale):
+        mb = MaterialBuilder()
+        mb.add(
+            "m",
+            textures={"diffuse": 0, "displacement": 1},
+            height_scale=height_scale,
+        )
+        return Scene(
+            draws=(InstancedDraw.create(sphere_mesh(1.0, 16, 8), np.eye(4, dtype=np.float32), [0]),),
+            materials=mb.build(),
+            atlas=atlas,
+            lights=Lights.default_scene_lights(),
+            ambient=jnp.asarray([0.03, 0.03, 0.03]),
+        )
+
+    cam = Camera.create(aspect=1.0)
+    img0 = np.asarray(render(scene_with(0.0), cam, width=64, height=64))
+    img1 = np.asarray(render(scene_with(0.05), cam, width=64, height=64))
+    diff = np.abs(img0 - img1).max()
+    assert diff > 0.01, diff  # parallax visibly shifts texels
+    # zero scale must equal a scene with no displacement at all
+    mb = MaterialBuilder()
+    mb.add("m", textures={"diffuse": 0})
+    scene_plain = dataclasses.replace(scene_with(0.0), materials=mb.build())
+    img_plain = np.asarray(render(scene_plain, cam, width=64, height=64))
+    np.testing.assert_allclose(img0, img_plain, atol=1e-6)
