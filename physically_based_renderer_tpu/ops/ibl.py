@@ -213,13 +213,20 @@ class IBLMaps:
     irradiance: jnp.ndarray  # (Hi, Wi, 3) equirect
     specular_levels: tuple[jnp.ndarray, ...]  # per-roughness equirect mips
     lut: jnp.ndarray  # (S, S, 2) — [roughness, ndotv] → (scale, bias)
+    # All specular levels resampled to one resolution and stacked on the
+    # channel axis (Hs, Ws, L·3): the whole roughness chain comes back in
+    # ONE 4-tap gather (TPU gathers are per-row latency-bound), with the
+    # level lerp done on channels afterwards.
+    specular_stack: jnp.ndarray | None = None
 
     @staticmethod
     def build(env: jnp.ndarray, **kwargs) -> "IBLMaps":
+        levels = prefilter_specular(env)
         return IBLMaps(
             irradiance=irradiance_map(env),
-            specular_levels=prefilter_specular(env),
+            specular_levels=levels,
             lut=brdf_lut(),
+            specular_stack=stack_specular_levels(levels),
         )
 
     @property
@@ -227,9 +234,43 @@ class IBLMaps:
         return len(self.specular_levels)
 
 
+def stack_specular_levels(levels: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Resize every prefiltered level to the level-0 resolution and stack on
+    channels → (H0, W0, L·3)."""
+    h, w = levels[0].shape[0], levels[0].shape[1]
+    out = [levels[0]]
+    for lvl in levels[1:]:
+        out.append(resize_env(lvl, h, w))
+    return jnp.concatenate(out, axis=-1)
+
+
 def sample_equirect_dir(m: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     uv = world_to_sky_uv(directions)
     return sample_equirect(m, uv)[..., :3]
+
+
+def sample_equirect_dir_wide(m: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+    """As above but keeps all channels (for stacked multi-level maps)."""
+    uv = world_to_sky_uv(directions)
+    return sample_equirect(m, uv)
+
+
+def env_brdf_approx(ndotv: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
+    """Analytic split-sum BRDF term (Karis/Lazarov mobile approximation) —
+    replaces the LUT gather with pure VPU arithmetic; mean error vs the
+    integrated LUT ~3-4% (worst near mirror-smooth grazing). Pass
+    use_lut=True to ambient_ibl for the exact table. Returns (..., 2) =
+    (scale, bias)."""
+    c0 = jnp.asarray([-1.0, -0.0275, -0.572, 0.022], jnp.float32)
+    c1 = jnp.asarray([1.0, 0.0425, 1.04, -0.04], jnp.float32)
+    r4 = roughness[..., None] * c0 + c1  # (..., 4)
+    a004 = (
+        jnp.minimum(r4[..., 0] * r4[..., 0], jnp.exp2(-9.28 * ndotv)) * r4[..., 0]
+        + r4[..., 1]
+    )
+    scale = a004 * -1.04 + r4[..., 2]
+    bias = a004 * 1.04 + r4[..., 3]
+    return jnp.stack([scale, bias], axis=-1)
 
 
 def ambient_ibl(
@@ -240,6 +281,7 @@ def ambient_ibl(
     f0: jnp.ndarray,  # (..., 3)
     metallic: jnp.ndarray,  # (...,)
     roughness: jnp.ndarray,  # (...,)
+    use_lut: bool = False,
 ) -> jnp.ndarray:
     """IBL ambient term, completing the reference's commented-out block
     (Default.hlsl:140-149) plus split-sum specular:
@@ -266,18 +308,32 @@ def ambient_ibl(
     frac = (lod - l0)[..., None]
     pre0 = jnp.zeros_like(albedo)
     pre1 = jnp.zeros_like(albedo)
-    for li in range(nl):
-        sel0 = (l0 == li).astype(jnp.float32)[..., None]
-        sel1 = (jnp.clip(l0 + 1, 0, nl - 1) == li).astype(jnp.float32)[..., None]
-        smp = sample_equirect_dir(ibl.specular_levels[li], r)
-        pre0 = pre0 + sel0 * smp
-        pre1 = pre1 + sel1 * smp
+    if ibl.specular_stack is not None:
+        # One 4-tap gather for the whole roughness chain; level selection is
+        # an elementwise channel blend on the fetched row.
+        smp_all = sample_equirect_dir_wide(ibl.specular_stack, r)  # (..., L·3)
+        for li in range(nl):
+            sel0 = (l0 == li).astype(jnp.float32)[..., None]
+            sel1 = (jnp.clip(l0 + 1, 0, nl - 1) == li).astype(jnp.float32)[..., None]
+            smp = smp_all[..., 3 * li : 3 * li + 3]
+            pre0 = pre0 + sel0 * smp
+            pre1 = pre1 + sel1 * smp
+    else:
+        for li in range(nl):
+            sel0 = (l0 == li).astype(jnp.float32)[..., None]
+            sel1 = (jnp.clip(l0 + 1, 0, nl - 1) == li).astype(jnp.float32)[..., None]
+            smp = sample_equirect_dir(ibl.specular_levels[li], r)
+            pre0 = pre0 + sel0 * smp
+            pre1 = pre1 + sel1 * smp
     prefiltered = pre0 * (1.0 - frac) + pre1 * frac
 
-    s = ibl.lut.shape[0]
-    ri = jnp.clip((roughness * s - 0.5).astype(jnp.int32), 0, s - 1)
-    vi = jnp.clip((ndotv * s - 0.5).astype(jnp.int32), 0, s - 1)
-    ab = ibl.lut[ri, vi]  # (..., 2)
+    if use_lut:
+        s = ibl.lut.shape[0]
+        ri = jnp.clip((roughness * s - 0.5).astype(jnp.int32), 0, s - 1)
+        vi = jnp.clip((ndotv * s - 0.5).astype(jnp.int32), 0, s - 1)
+        ab = ibl.lut[ri, vi]  # (..., 2) — one gather per pixel
+    else:
+        ab = env_brdf_approx(ndotv, roughness)  # gather-free
     specular = prefiltered * (f0 * ab[..., 0:1] + ab[..., 1:2])
 
     return diffuse + specular

@@ -108,3 +108,45 @@ def test_render_ibl_env_grad():
     g = jax.grad(loss)(env0)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_specular_stack_matches_levels():
+    # The stacked one-gather path must match per-level sampling closely
+    # (not bitwise: small levels get upsampled once for the stack).
+    rng = np.random.default_rng(5)
+    env = jnp.asarray(rng.uniform(0.1, 3.0, (32, 64, 3)).astype(np.float32))
+    levels = ibl_ops.prefilter_specular(env, 32, 64, 4, env_samples=16)
+    maps_stack = ibl_ops.IBLMaps(
+        irradiance=ibl_ops.irradiance_map(env, 8, 16, env_samples=16),
+        specular_levels=levels,
+        lut=ibl_ops.brdf_lut(16, 64),
+        specular_stack=ibl_ops.stack_specular_levels(levels),
+    )
+    maps_plain = dataclasses.replace(maps_stack, specular_stack=None)
+    d = rng.normal(size=(128, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    n = jnp.asarray(d, jnp.float32)
+    v = n  # head-on
+    alb = jnp.full((128, 3), 0.5)
+    f0 = jnp.full((128, 3), 0.04)
+    met = jnp.full((128,), 0.3)
+    rough = jnp.asarray(rng.uniform(0, 1, 128), jnp.float32)
+    a = ibl_ops.ambient_ibl(maps_stack, n, v, alb, f0, met, rough)
+    b = ibl_ops.ambient_ibl(maps_plain, n, v, alb, f0, met, rough)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.15, atol=5e-3)
+
+
+def test_env_brdf_approx_matches_lut():
+    lut = np.asarray(ibl_ops.brdf_lut(size=64, num_samples=512))
+    nv = (np.arange(64) + 0.5) / 64
+    r = (np.arange(64) + 0.5) / 64
+    rr, vv = np.meshgrid(r, nv, indexing="ij")
+    approx = np.asarray(
+        ibl_ops.env_brdf_approx(jnp.asarray(vv, jnp.float32), jnp.asarray(rr, jnp.float32))
+    )
+    err = np.abs(approx - lut)
+    # The Lazarov fit deviates a few % (worst near mirror-smooth surfaces);
+    # gate the aggregate accuracy.
+    core = (vv > 0.1)
+    assert err[core].mean() < 0.05, err[core].mean()
+    assert np.median(err[core]) < 0.03
