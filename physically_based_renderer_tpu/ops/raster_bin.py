@@ -37,8 +37,18 @@ from .raster import ScreenTris, _edge_coeffs, setup_triangles
 # 9,10: x0, y0    corner v0 pixel coords
 # 11-13: za,zb,zc depth plane: z(p) = za·dx + zb·dy + zc
 # 14: material id (as float; exact for ids < 2^24), 15: spare
+#
+# G-buffer variant (``corner_channels``): three extra blocks of CH fields
+# each are appended at 16 — the x/y/const plane coefficients of every
+# interpolation channel, so the kernel can evaluate perspective-correct
+# attributes as pure lane-wise FMAs (see raster_pallas gbuffer kernel).
 NUM_FIELDS = 16
 FIELD_MATERIAL = 14
+GBUF_FIELD0 = 16
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 @jax.tree_util.register_dataclass
@@ -54,9 +64,17 @@ class BinnedTris:
 
 
 def pack_triangle_fields(
-    st: ScreenTris, face_material: jnp.ndarray | None = None
+    st: ScreenTris,
+    face_material: jnp.ndarray | None = None,
+    corner_channels: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Per-triangle kernel constants, (T, NUM_FIELDS) f32."""
+    """Per-triangle kernel constants, (T, NUM_FIELDS[+3·CH pad8]) f32.
+
+    ``corner_channels`` (T, 3, CH): per-corner values to interpolate linearly
+    in screen space (callers pass attr·(1/w) channels plus a final 1/w channel
+    for perspective correction). Each channel becomes a screen-space plane
+    value(p) = gx·dx + gy·dy + gc (dx,dy relative to corner v0), appended as
+    three CH-wide blocks [gx | gy | gc] at field 16."""
     a, b, c0, x0, y0 = _edge_coeffs(st)  # (T,3)*3, (T,), (T,)
     inv_area = 1.0 / jnp.abs(st.area)
     za = jnp.sum(a * st.z, axis=-1) * inv_area
@@ -64,7 +82,7 @@ def pack_triangle_fields(
     zc = jnp.sum(c0 * st.z, axis=-1) * inv_area
     zero = jnp.zeros_like(x0)
     mat = zero if face_material is None else face_material.astype(jnp.float32)
-    return jnp.stack(
+    base = jnp.stack(
         [
             a[:, 0], a[:, 1], a[:, 2],
             b[:, 0], b[:, 1], b[:, 2],
@@ -75,6 +93,19 @@ def pack_triangle_fields(
         ],
         axis=-1,
     )
+    if corner_channels is None:
+        return base
+    # Plane coefficients per channel: value_i at the 3 corners → the linear
+    # screen-space plane through them, via the same bary identity as z above.
+    ch = corner_channels
+    gx = jnp.einsum("ti,tic->tc", a, ch) * inv_area[:, None]
+    gy = jnp.einsum("ti,tic->tc", b, ch) * inv_area[:, None]
+    gc = jnp.einsum("ti,tic->tc", c0, ch) * inv_area[:, None]
+    out = jnp.concatenate([base, gx, gy, gc], axis=-1)
+    pad = _round_up(out.shape[-1], 8) - out.shape[-1]
+    if pad:
+        out = jnp.pad(out, ((0, 0), (0, pad)))
+    return out
 
 
 @functools.partial(
@@ -103,6 +134,7 @@ def bin_triangles(
     pairs_cap: int | None = None,
     chunk: int = 128,
     face_material: jnp.ndarray | None = None,
+    corner_channels: jnp.ndarray | None = None,
 ) -> BinnedTris:
     """Bin into the tile grid of the row band [y_offset, y_offset+rows) of a
     width×height viewport (full frame by default)."""
@@ -200,7 +232,7 @@ def bin_triangles(
 
     # Pre-gather packed fields per pair, field-major; pad by one chunk so the
     # kernel's fixed-size chunk DMA never reads out of bounds.
-    fields = pack_triangle_fields(st, face_material)  # (T, NUM_FIELDS)
+    fields = pack_triangle_fields(st, face_material, corner_channels)  # (T, NF)
     safe_tri = jnp.maximum(sorted_tri, 0)
     packed = fields[safe_tri].T  # (NUM_FIELDS, PAIRS)
     packed = jnp.pad(packed, ((0, 0), (0, chunk)))

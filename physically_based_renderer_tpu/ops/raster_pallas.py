@@ -27,10 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raster import setup_triangles
-from .raster_bin import NUM_FIELDS, bin_triangles
+from .raster import interpolate_packed, setup_triangles
+from .raster_bin import GBUF_FIELD0, NUM_FIELDS, bin_triangles
 
 CHUNK = 128  # triangles per DMA chunk (lane width)
+_MM_PRECISION = jax.lax.Precision.HIGHEST  # see gbuf kernel note
 
 
 def _raster_tile_kernel(
@@ -167,6 +168,177 @@ def _raster_tile_kernel(
     out_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
 
 
+def _raster_tile_gbuf_kernel(
+    # scalar prefetch
+    starts_ref,  # (ntiles+1,) i32 in SMEM
+    meta_ref,  # (1,) i32: [y_offset]
+    # inputs (ANY/HBM)
+    packed_ref,  # (NF, PAIRS_pad) f32
+    ids_ref,  # (1, PAIRS_pad) i32
+    # outputs (VMEM block per tile)
+    out_id_ref,  # (1, tile_h, tile_w) i32 — encoded tid*mat_stride+mat (−1 bg)
+    out_gb_ref,  # (1, P, C+1) f32 — perspective-correct attrs + linear depth
+    # scratch
+    fbuf,  # (2, NF, CHUNK) f32 VMEM — double-buffered
+    ibuf,  # (2, 1, CHUNK) i32 VMEM
+    fsem,
+    isem,
+    best_z,  # (P, 1) f32 VMEM
+    best_id,  # (P, 1) i32 VMEM
+    best_f,  # (P, NF) f32 VMEM — the winner's full field row
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    mat_stride: int,
+    num_ch: int,  # interpolation channels incl. the trailing 1/w
+):
+    """Fused raster + G-buffer-interpolation kernel.
+
+    Identical depth resolve to ``_raster_tile_kernel``, plus: each chunk
+    resolves the winning LANE as an exact one-hot (lane-index tiebreak for
+    duplicate pairs of one triangle straddling tile runs) and pulls that
+    lane's whole field row with ONE (P,CHUNK)·(CHUNK,NF) MXU matmul — the
+    "gather" of the deferred stage, at matmul speed instead of ~8 ns/row XLA
+    gather latency per pixel. After the loop the attribute planes are
+    evaluated per pixel as lane-wise FMAs and perspective-divided by the 1/w
+    plane (identical algebra to ``raster.interpolate_packed``)."""
+    p = tile_h * tile_w
+    i = pl.program_id(0)
+    ty = i // tiles_x
+    tx = i % tiles_x
+
+    x_base = (tx * tile_w).astype(jnp.float32)
+    y_base = (ty * tile_h + meta_ref[0]).astype(jnp.float32)
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = x_base + (pix % tile_w).astype(jnp.float32) + 0.5
+    py = y_base + (pix // tile_w).astype(jnp.float32) + 0.5
+
+    best_z[:] = jnp.full((p, 1), jnp.inf, jnp.float32)
+    best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
+    best_f[:] = jnp.zeros_like(best_f)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def process_range(lo, hi):
+        lo_a = (lo // CHUNK) * CHUNK
+        n_chunks = (hi - lo_a + CHUNK - 1) // CHUNK
+
+        def make_dmas(slot, j):
+            base = pl.multiple_of(lo_a + j * CHUNK, CHUNK)
+            fdma = pltpu.make_async_copy(
+                packed_ref.at[:, pl.ds(base, CHUNK)], fbuf.at[slot], fsem.at[slot]
+            )
+            idma = pltpu.make_async_copy(
+                ids_ref.at[:, pl.ds(base, CHUNK)], ibuf.at[slot], isem.at[slot]
+            )
+            return fdma, idma
+
+        f0, i0 = make_dmas(0, 0)
+        f0.start()
+        i0.start()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < n_chunks)
+            def _():
+                fn, inx = make_dmas((j + 1) % 2, j + 1)
+                fn.start()
+                inx.start()
+
+            fw, iw = make_dmas(slot, j)
+            fw.wait()
+            iw.wait()
+            base = pl.multiple_of(lo_a + j * CHUNK, CHUNK)
+
+            f = fbuf[slot]  # (NF, CHUNK)
+            dx = px - f[9:10, :]  # (P, CHUNK)
+            dy = py - f[10:11, :]
+            e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
+            e1 = dx * f[1:2, :] + dy * f[4:5, :] + f[7:8, :]
+            e2 = dx * f[2:3, :] + dy * f[5:6, :] + f[8:9, :]
+            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            z = dx * f[11:12, :] + dy * f[12:13, :] + f[13:14, :]
+
+            tid = ibuf[slot]  # (1, CHUNK)
+            in_run = lane < (hi - base)
+            ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
+            zm = jnp.where(ok, z, jnp.inf)
+
+            zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
+            if mat_stride > 1:
+                code = tid * mat_stride + f[14:15, :].astype(jnp.int32)
+            else:
+                code = tid
+            win_id = jnp.min(
+                jnp.where(zm <= zmin, code, jnp.int32(0x7FFFFFFF)),
+                axis=1,
+                keepdims=True,
+            )
+            # Exactly ONE winning lane: duplicate pairs of the same triangle
+            # (identical z and code, possible in the chunk-aligned prefix)
+            # are broken by smallest lane index — a 2nd reduction, so the
+            # one-hot below sums to ≤1 and the matmul never double-counts.
+            is_win = (zm <= zmin) & (code == win_id)
+            win_lane = jnp.min(
+                jnp.where(is_win, lane, jnp.int32(0x7FFFFFFF)),
+                axis=1,
+                keepdims=True,
+            )
+            onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
+            # HIGHEST precision is required: the default MXU path truncates
+            # f32 operands to bf16, which rounds the selected field rows to
+            # ~3 digits (visible as 1e-2 attribute error). The one-hot side
+            # is exact either way; the field side needs full f32 passes.
+            cand = jax.lax.dot_general(
+                onehot,
+                f,
+                (((1,), (1,)), ((), ())),
+                precision=_MM_PRECISION,
+                preferred_element_type=jnp.float32,
+            )  # (P, NF) — the winning lane's field row
+
+            better = zmin < best_z[:]
+            best_z[:] = jnp.where(better, zmin, best_z[:])
+            best_id[:] = jnp.where(better, win_id, best_id[:])
+            best_f[:] = jnp.where(better, cand, best_f[:])
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    g_end = starts_ref[0]
+    s0 = starts_ref[i]
+    s1 = starts_ref[i + 1]
+
+    @pl.when(g_end > 0)
+    def _():
+        process_range(0, g_end)
+
+    @pl.when(s1 > s0)
+    def _():
+        process_range(s0, s1)
+
+    # Evaluate the winner's attribute planes at the pixel centers.
+    bf = best_f[:]  # (P, NF)
+    dxp = px - bf[:, 9:10]
+    dyp = py - bf[:, 10:11]
+    a0 = GBUF_FIELD0
+    planes = (
+        bf[:, a0 : a0 + num_ch] * dxp
+        + bf[:, a0 + num_ch : a0 + 2 * num_ch] * dyp
+        + bf[:, a0 + 2 * num_ch : a0 + 3 * num_ch]
+    )  # (P, CH): [attr·(1/w) … , 1/w]
+    invw = planes[:, num_ch - 1 : num_ch]
+    attrs = planes[:, : num_ch - 1] / jnp.where(jnp.abs(invw) > 1e-20, invw, 1.0)
+    depth = bf[:, 11:12] * dxp + bf[:, 12:13] * dyp + bf[:, 13:14]
+    hit = best_id[:] >= 0
+    gb = jnp.concatenate([attrs, depth], axis=-1)  # (P, C+1)
+    out_gb_ref[:] = jnp.where(hit, gb, 0.0).reshape(1, p, num_ch)
+    out_id_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -297,3 +469,260 @@ def rasterize_binned(
             mat_id = face_material[jnp.maximum(img, 0)]
         return tri_id, mat_id
     return img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "rows",
+        "tile_h",
+        "tile_w",
+        "max_span",
+        "pairs_cap",
+        "cull_backface",
+        "num_materials",
+        "interpret",
+    ),
+)
+def rasterize_binned_gbuffer(
+    verts_clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    packed_attrs: jnp.ndarray,  # (V, C) vertex attributes to interpolate
+    *,
+    width: int,
+    height: int,
+    rows: int | None = None,
+    y_offset: jnp.ndarray | int = 0,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    max_span: int = 8,
+    pairs_cap: int | None = None,
+    cull_backface: bool = True,
+    tri_mask: jnp.ndarray | None = None,
+    face_material: jnp.ndarray | None = None,
+    num_materials: int = 0,
+    interpret: bool = False,
+):
+    """Fused binned raster + G-buffer: one Pallas pass → per-pixel
+    perspective-correct attributes, depth, triangle id (and material id).
+
+    Replaces ``rasterize_binned`` + ``raster.interpolate_packed`` on the hot
+    path: the deferred stage's per-pixel attribute gather (~8 ns/row × H·W,
+    the single largest stage at 1080p) rides the raster kernel's winner
+    reduction as an MXU matmul instead. NOT differentiable — see
+    :func:`raster_gbuffer` for the custom-VJP wrapper.
+
+    Returns (attrs (rows,W,C), depth (rows,W), tri_id (rows,W) i32,
+    mat_id (rows,W) i32 or None)."""
+    if rows is None:
+        rows = height
+    y_offset = jnp.asarray(y_offset, jnp.int32)
+
+    want_material = face_material is not None
+    mat_stride = 1
+    encode_material = False
+    if want_material:
+        assert num_materials > 0, "pass static num_materials with face_material"
+        mat_stride = 1 << max(1, (num_materials - 1).bit_length())
+        encode_material = tris.shape[0] * mat_stride < (1 << 31)
+        if not encode_material:
+            mat_stride = 1
+
+    st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+    # Interpolation channels: attr·(1/w) per corner + trailing 1/w — the
+    # numerator/denominator planes of perspective-correct interpolation.
+    corner_attrs = packed_attrs[tris]  # (T, 3, C)
+    corner_channels = jnp.concatenate(
+        [corner_attrs * st.inv_w[..., None], st.inv_w[..., None]], axis=-1
+    )
+    num_ch = corner_channels.shape[-1]  # C + 1
+
+    binned = bin_triangles(
+        st,
+        width=width,
+        height=height,
+        rows=rows,
+        y_offset=y_offset,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        max_span=max_span,
+        pairs_cap=pairs_cap,
+        chunk=CHUNK,
+        face_material=face_material if encode_material else None,
+        corner_channels=corner_channels,
+    )
+    nf = binned.packed.shape[0]
+
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-rows // tile_h)
+    ntiles = tiles_y * tiles_x
+    p = tile_h * tile_w
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, p, num_ch), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nf, CHUNK), jnp.float32),
+            pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.int32),
+            pltpu.VMEM((p, nf), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _raster_tile_gbuf_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        mat_stride=mat_stride if encode_material else 1,
+        num_ch=num_ch,
+    )
+    tile_ids, tile_gb = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles, tile_h, tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, p, num_ch), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        binned.starts,
+        jnp.reshape(y_offset, (1,)),
+        binned.packed,
+        binned.pair_tri.reshape(1, -1),
+    )
+
+    img = (
+        tile_ids.reshape(tiles_y, tiles_x, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w)
+    )[:rows, :width]
+    gb = (
+        tile_gb.reshape(tiles_y, tiles_x, tile_h, tile_w, num_ch)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w, num_ch)
+    )[:rows, :width]
+    attrs = gb[..., : num_ch - 1]
+    depth = gb[..., num_ch - 1]
+
+    if want_material:
+        if encode_material:
+            bg = img < 0
+            tri_id = jnp.where(bg, -1, img // mat_stride)
+            mat_id = jnp.where(bg, 0, img % mat_stride)
+        else:
+            tri_id = img
+            mat_id = face_material[jnp.maximum(img, 0)]
+    else:
+        tri_id = img
+        mat_id = None
+    return attrs, depth, tri_id, mat_id
+
+
+def raster_gbuffer(
+    verts_clip: jnp.ndarray,
+    packed_attrs: jnp.ndarray,
+    tris: jnp.ndarray,
+    face_material: jnp.ndarray | None = None,
+    *,
+    width: int,
+    height: int,
+    rows: int | None = None,
+    y_offset: jnp.ndarray | int = 0,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    cull_backface: bool = True,
+    num_materials: int = 0,
+    interpret: bool = False,
+):
+    """Differentiable fused raster + G-buffer (custom VJP).
+
+    Forward: the fused Pallas kernel (``rasterize_binned_gbuffer``).
+    Backward: the winner triangle ids are fixed (hard visibility has no
+    gradient, as in the unfused pipeline) and attribute/vertex gradients are
+    pulled back through a recompute of the reference interpolation math
+    (``raster.interpolate_packed``) — whose cost XLA dead-code-eliminates
+    whenever only material/light/texture gradients are consumed.
+
+    Returns (attrs (rows,W,C), depth, tri_id, mat_id)."""
+
+    @jax.custom_vjp
+    def fused(vc, pa, tris_, fm_, y_off_):
+        return rasterize_binned_gbuffer(
+            vc,
+            tris_,
+            pa,
+            width=width,
+            height=height,
+            rows=rows,
+            y_offset=y_off_,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            cull_backface=cull_backface,
+            face_material=fm_,
+            num_materials=num_materials,
+            interpret=interpret,
+        )
+
+    def fused_fwd(vc, pa, tris_, fm_, y_off_):
+        out = fused(vc, pa, tris_, fm_, y_off_)
+        attrs, depth, tri_id, mat_id = out
+        return out, (vc, pa, tris_, tri_id, y_off_)
+
+    def fused_bwd(res, g):
+        vc, pa, tris_, tri_id, y_off_ = res
+        # Background pixels output exact zeros in the fused forward; the
+        # recompute path interpolates triangle 0 there, so mask their
+        # cotangents out before the pullback.
+        hit = tri_id >= 0
+        g_attrs = jnp.where(hit[..., None], g[0], 0.0)
+        g_depth = jnp.where(hit, g[1], 0.0)
+
+        def interp(vc_, pa_):
+            a, d, _m = interpolate_packed(
+                pa_,
+                vc_,
+                tris_,
+                tri_id,
+                width=width,
+                height=height,
+                y_offset=y_off_,
+            )
+            return a, d
+
+        _, pull = jax.vjp(interp, vc, pa)
+        gvc, gpa = pull((g_attrs, g_depth))
+        import numpy as np
+
+        f0 = jax.dtypes.float0
+        g_tris = np.zeros(tris_.shape, dtype=f0)
+        g_fm = (
+            None
+            if face_material is None
+            else np.zeros(face_material.shape, dtype=f0)
+        )
+        g_yoff = np.zeros(jnp.shape(y_off_), dtype=f0)
+        return gvc, gpa, g_tris, g_fm, g_yoff
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused(
+        verts_clip, packed_attrs, tris, face_material,
+        jnp.asarray(y_offset, jnp.int32),
+    )

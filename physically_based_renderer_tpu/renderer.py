@@ -232,8 +232,9 @@ def render(
     ``y_offset`` may be a traced value (lax.axis_index in shard_map).
 
     ``raster_backend``: "auto" (Pallas kernel on TPU, jnp tiled elsewhere),
-    "pallas", "pallas_interpret", "jnp", or "brute" (O(H·W·T) oracle for tiny
-    CPU reference renders)."""
+    "pallas", "pallas_interpret", "pallas_gbuf" / "pallas_gbuf_interpret"
+    (fused raster+interpolation kernel), "jnp", or "brute" (O(H·W·T) oracle
+    for tiny CPU reference renders)."""
     if rows is None:
         rows = height
     geom = flatten_scene(scene)
@@ -244,12 +245,46 @@ def render(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
 
+    # Static channel specialisation (the shader-permutation idea applied to
+    # the G-buffer): untextured scenes skip tangent/bitangent/uv entirely —
+    # the per-pixel attribute fetch is the deferred stage's dominant cost.
+    textured = scene.atlas is not None
+    if textured:
+        packed = jnp.concatenate(
+            [geom.pos_w, geom.normal_w, geom.tangent_w, geom.bitangent_w, geom.uv],
+            axis=-1,
+        )  # (V, 14)
+    else:
+        packed = jnp.concatenate([geom.pos_w, geom.normal_w], axis=-1)  # (V, 6)
+
     pix_mat_k = None
+    fused_gbuf = backend in ("pallas_gbuf", "pallas_gbuf_interpret")
     if backend == "brute":
         assert rows == height, "brute rasterizer renders full frames only"
         tri_id = raster.rasterize_brute(
             clip, geom.tris, width=width, height=height, cull_backface=cull_backface
         )
+    elif fused_gbuf:
+        # Fused raster + G-buffer kernel: attrs come straight out of the
+        # raster pass (plane-evaluated in VMEM), no per-pixel XLA gather.
+        # Roughly breaks even with the unfused path on one chip (the winner
+        # one-hot matmul is MXU-latency-bound); kept as a selectable backend.
+        attrs, _depth, tri_id, pix_mat_k = raster_pallas.raster_gbuffer(
+            clip,
+            packed,
+            geom.tris,
+            geom.face_material,
+            width=width,
+            height=height,
+            rows=rows,
+            y_offset=y_offset,
+            tile_h=tile_h if tile_h is not None else 16,
+            tile_w=tile_w,
+            cull_backface=cull_backface,
+            num_materials=scene.materials.num_materials,
+            interpret=(backend == "pallas_gbuf_interpret"),
+        )
+        mask = tri_id >= 0
     elif backend in ("pallas", "pallas_interpret"):
         tri_id, pix_mat_k = raster_pallas.rasterize_binned(
             clip,
@@ -281,20 +316,10 @@ def render(
     else:
         raise ValueError(f"unknown raster_backend {raster_backend!r}")
 
-    # Static channel specialisation (the shader-permutation idea applied to
-    # the G-buffer): untextured scenes skip tangent/bitangent/uv entirely —
-    # the corner gather is the deferred stage's dominant cost.
-    textured = scene.atlas is not None
-    if textured:
-        packed = jnp.concatenate(
-            [geom.pos_w, geom.normal_w, geom.tangent_w, geom.bitangent_w, geom.uv],
-            axis=-1,
-        )  # (V, 14)
-    else:
-        packed = jnp.concatenate([geom.pos_w, geom.normal_w], axis=-1)  # (V, 6)
-    attrs, _depth, mask = raster.interpolate_packed(
-        packed, clip, geom.tris, tri_id, width=width, height=height, y_offset=y_offset
-    )
+    if not fused_gbuf:
+        attrs, _depth, mask = raster.interpolate_packed(
+            packed, clip, geom.tris, tri_id, width=width, height=height, y_offset=y_offset
+        )
     pos_w = attrs[..., 0:3]
     normal_w = attrs[..., 3:6]
     if textured:
@@ -305,7 +330,7 @@ def render(
         tangent_w = normal_w  # unused by the untextured shading path
         bitangent_w = normal_w
         uv = attrs[..., 0:2] * 0.0
-    if backend in ("pallas", "pallas_interpret") and pix_mat_k is not None:
+    if pix_mat_k is not None:
         pix_mat = pix_mat_k  # resolved inside the raster kernel (free)
     else:
         pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
