@@ -5,9 +5,13 @@ The TPU-idiomatic answer to "dynamic triangles-per-tile under static shapes"
 tile (O(tiles × T), the v0 rasterizer), we
 
   1. compute each valid triangle's tile-bbox span,
-  2. emit (tile, triangle) pairs — one per covered tile — at prefix-sum slots
-     (static-size scatter, ``max_span`` pairs max per triangle),
-  3. sort pairs by tile id (XLA sort, sub-ms for millions of keys),
+  2. emit (tile, triangle) pair slots, CLASS-BASED to keep the sort small
+     (the sort is the dominant binning cost): 2 slots for span≤2 triangles
+     (first+last bbox tile — exact coverage), ``max_span`` dense slots for a
+     compacted block of bigger triangles, and a single front-sorting jumbo
+     slot for anything larger (or overflowing the big block),
+  3. sort packed (tile, tri) int32 keys (XLA sort — the triangle id decodes
+     arithmetically from the key, no post-sort gathers),
   4. take per-tile [start, end) ranges by searchsorted.
 
 The sorted pair array gives every tile a CONTIGUOUS run of its triangles in
@@ -119,6 +123,7 @@ def pack_triangle_fields(
         "max_span",
         "pairs_cap",
         "chunk",
+        "big_cap",
     ),
 )
 def bin_triangles(
@@ -135,6 +140,7 @@ def bin_triangles(
     chunk: int = 128,
     face_material: jnp.ndarray | None = None,
     corner_channels: jnp.ndarray | None = None,
+    big_cap: int | None = None,
 ) -> BinnedTris:
     """Bin into the tile grid of the row band [y_offset, y_offset+rows) of a
     width×height viewport (full frame by default)."""
@@ -173,56 +179,105 @@ def bin_triangles(
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
     span = span_w * span_h
-    small = valid & (span <= max_span)
-    jumbo = valid & (span > max_span)
-    total = jnp.sum(jnp.where(small, span, 0)) + jnp.sum(jumbo.astype(jnp.int32))
-    overflowed = total > pairs_cap  # diagnostics only (capacity is exact now)
-
-    # DENSE pair emission — no scatters (TPU scatters were the dominant
-    # binning cost): every triangle emits max_span candidate (tile, tri)
-    # pairs, invalid ones keyed with the ntiles sentinel so the sort pushes
-    # them to the tail; jumbo triangles emit one key −1 pair (sorts to the
-    # front → the global list every tile processes).
     tri_ids = jnp.arange(num_t, dtype=jnp.int32)
-    ks = jnp.arange(max_span, dtype=jnp.int32)[None, :]  # (1, S)
-    r = ks // jnp.maximum(span_w, 1)[:, None]
-    c = ks % jnp.maximum(span_w, 1)[:, None]
-    tile_dense = (ty0[:, None] + r) * ntx + (tx0[:, None] + c)  # (T, S)
-    ok_dense = small[:, None] & (ks < span[:, None])
-    # Shift tiles by +1 so jumbo pairs key 0 (sort to the front) and the
-    # sentinel is ntiles+1.
-    keys_dense = jnp.where(ok_dense, tile_dense + 1, jnp.int32(ntiles + 1))
-    keys_jumbo = jnp.where(jumbo, jnp.int32(0), jnp.int32(ntiles + 1))
-    key_tiles = jnp.concatenate([keys_dense.reshape(-1), keys_jumbo])  # (slots,)
-    num_slots = num_t * (max_span + 1)
+    SENT = jnp.int32(ntiles + 1)  # sentinel tile: sorts to the tail
 
-    IDX_BITS = 21
-    if ntiles + 2 <= (1 << (31 - IDX_BITS)) and num_slots < (1 << IDX_BITS):
-        # Fast path: pack (tile+1, slot) into one int32 and run a single
-        # value-free sort — the slot index decodes back to the triangle id
-        # arithmetically, so no post-sort gathers at all. Keys are unique →
-        # unstable sort is exact, and slot order within a tile = ascending
-        # triangle id = draw order.
-        slot_iota = jnp.arange(num_slots, dtype=jnp.int32)
-        packed_keys = (key_tiles << IDX_BITS) | slot_iota
-        sorted_keys = jnp.sort(packed_keys)[:pairs_cap]
-        sorted_tile = (sorted_keys >> IDX_BITS) - 1
-        slot = sorted_keys & ((1 << IDX_BITS) - 1)
-        tri_from_slot = jnp.where(
-            slot < num_t * max_span, slot // max_span, slot - num_t * max_span
-        )
-        sorted_tri = jnp.where(sorted_tile < ntiles, tri_from_slot, -1)
+    # CLASS-BASED pair emission — no scatters (TPU scatters were the
+    # dominant binning cost), and far fewer sort keys than dense max_span
+    # emission (the sort is the dominant binning cost after that):
+    #   * span ≤ 2   → 2 slots: the bbox's first and last tile (which ARE
+    #                  its only tiles for 1×1/1×2/2×1 bboxes) — the
+    #                  overwhelming case for production triangle sizes.
+    #   * 2 < span ≤ max_span → a compacted "big" block: the big triangles
+    #                  are ranked by one T-key sort and the first big_cap
+    #                  of them emit max_span dense slots each.
+    #   * span > max_span, or big-block overflow → jumbo: ONE slot with
+    #                  tile key −1, sorting to the front — a global run
+    #                  every tile processes.
+    small2 = valid & (span <= 2)
+    big = valid & (span > 2) & (span <= max_span)
+    jumbo = valid & (span > max_span)
+
+    if big_cap is None:
+        if num_t <= (1 << 16):
+            big_cap = num_t  # small scenes: all fit, no ranking sort
+        else:
+            big_cap = max(4096, num_t // 8)
+    big_cap = min(big_cap, num_t)
+
+    if big_cap < num_t:
+        # Rank big triangles: one value-free T-key sort (big first, by id)
+        # for the compacted id list, and a cumsum for the per-triangle rank
+        # (NOT searchsorted — its log-n binary-search rounds are each a
+        # latency-bound gather, ~14 ms at 195k queries).
+        bsort = jnp.sort(jnp.where(big, tri_ids, tri_ids + num_t))
+        btri = bsort[:big_cap] % num_t  # candidate big tris (may be dead)
+        bvalid = bsort[:big_cap] < num_t
+        rank = jnp.cumsum(big.astype(jnp.int32)) - 1  # rank of big tri i
+        spilled = big & (rank >= big_cap)  # overflow → jumbo (correct, slow)
     else:
-        # General fallback: argsort + value gathers.
-        all_tris = jnp.concatenate(
-            [
-                jnp.broadcast_to(tri_ids[:, None], (num_t, max_span)).reshape(-1),
-                tri_ids,
-            ]
+        btri = tri_ids
+        bvalid = big
+        spilled = jnp.zeros_like(big)
+    jumbo_all = jumbo | spilled
+
+    tile_first = ty0 * ntx + tx0
+    tile_last = ty1 * ntx + tx1
+    k0_tile = jnp.where(
+        jumbo_all, jnp.int32(-1), jnp.where(small2, tile_first, SENT - 1)
+    )
+    k1_tile = jnp.where(small2 & (span > 1), tile_last, SENT - 1)
+
+    # Big block: gather bbox data for the compacted candidates (one aligned
+    # 8-lane gather), emit max_span dense slots each.
+    btab = jnp.stack(
+        [tx0, ty0, span_w, span, tx0, ty0, span_w, span], axis=-1
+    )  # (T, 8) i32
+    bg = btab[btri]  # (big_cap, 8)
+    ks = jnp.arange(max_span, dtype=jnp.int32)[None, :]  # (1, S)
+    bw = jnp.maximum(bg[:, 2:3], 1)
+    r = ks // bw
+    c = ks % bw
+    btile = (bg[:, 1:2] + r) * ntx + (bg[:, 0:1] + c)  # (big_cap, S)
+    bok = bvalid[:, None] & (ks < bg[:, 3:4])
+    kb_tile = jnp.where(bok, btile, SENT - 1)
+
+    slot_tiles = jnp.concatenate(
+        [k0_tile, k1_tile, kb_tile.reshape(-1)]
+    )  # (slots,)
+    slot_tris = jnp.concatenate(
+        [tri_ids, tri_ids, jnp.broadcast_to(btri[:, None], kb_tile.shape).reshape(-1)]
+    )
+
+    total = (
+        jnp.sum(jnp.where(small2, jnp.minimum(span, 2), 0))
+        + jnp.sum(jnp.where(big & ~spilled, span, 0))
+        + jnp.sum(jumbo_all.astype(jnp.int32))
+    )
+    overflowed = total > pairs_cap  # diagnostics only
+
+    TRI_BITS = max(1, (num_t - 1).bit_length()) if num_t > 1 else 1
+    if ntiles + 2 <= (1 << (31 - TRI_BITS)):
+        # Fast path: pack (tile+1, tri) into one int32 and run a single
+        # value-free sort — the triangle id decodes back arithmetically, so
+        # no post-sort gathers. Keys are unique (each (tile, tri) pair is
+        # emitted at most once) → unstable sort is exact, and within a tile
+        # keys ascend by triangle id = draw order.
+        packed_keys = ((slot_tiles + 1) << TRI_BITS) | slot_tris
+        sorted_keys = jnp.sort(packed_keys)[:pairs_cap]
+        sorted_tile = (sorted_keys >> TRI_BITS) - 1
+        sorted_tri = jnp.where(
+            sorted_tile < ntiles, sorted_keys & ((1 << TRI_BITS) - 1), -1
         )
-        order = jnp.argsort(key_tiles, stable=True)
-        sorted_tile = key_tiles[order][:pairs_cap] - 1
-        sorted_tri = jnp.where(sorted_tile < ntiles, all_tris[order][:pairs_cap], -1)
+    else:
+        # General fallback: two-key lexicographic sort (tile, tri).
+        sorted_tile, sorted_tri = jax.lax.sort(
+            (slot_tiles, slot_tris), num_keys=2
+        )
+        sorted_tile = sorted_tile[:pairs_cap]
+        sorted_tri = jnp.where(
+            sorted_tile < ntiles, sorted_tri[:pairs_cap], -1
+        )
 
     # starts[i] = first pair of tile i; [0, starts[0]) is the jumbo run
     # (tile key -1). searchsorted over i in [0, ntiles].

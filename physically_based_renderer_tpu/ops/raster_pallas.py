@@ -349,6 +349,7 @@ def _raster_tile_gbuf_kernel(
         "tile_w",
         "max_span",
         "pairs_cap",
+        "big_cap",
         "cull_backface",
         "num_materials",
         "interpret",
@@ -366,6 +367,7 @@ def rasterize_binned(
     tile_w: int = 128,
     max_span: int = 8,
     pairs_cap: int | None = None,
+    big_cap: int | None = None,
     cull_backface: bool = True,
     tri_mask: jnp.ndarray | None = None,
     face_material: jnp.ndarray | None = None,
@@ -406,6 +408,7 @@ def rasterize_binned(
         tile_w=tile_w,
         max_span=max_span,
         pairs_cap=pairs_cap,
+        big_cap=big_cap,
         chunk=CHUNK,
         face_material=face_material if encode_material else None,
     )
@@ -481,6 +484,7 @@ def rasterize_binned(
         "tile_w",
         "max_span",
         "pairs_cap",
+        "big_cap",
         "cull_backface",
         "num_materials",
         "interpret",
@@ -499,6 +503,7 @@ def rasterize_binned_gbuffer(
     tile_w: int = 128,
     max_span: int = 8,
     pairs_cap: int | None = None,
+    big_cap: int | None = None,
     cull_backface: bool = True,
     tri_mask: jnp.ndarray | None = None,
     face_material: jnp.ndarray | None = None,
@@ -549,6 +554,7 @@ def rasterize_binned_gbuffer(
         tile_w=tile_w,
         max_span=max_span,
         pairs_cap=pairs_cap,
+        big_cap=big_cap,
         chunk=CHUNK,
         face_material=face_material if encode_material else None,
         corner_channels=corner_channels,
