@@ -86,13 +86,18 @@ class Scene:
         assert self.env_map is not None, "scene has no environment map"
         return dataclasses.replace(self, ibl=IBLMaps.build(self.env_map))
 
-    def with_combined_textures(self) -> "Scene":
-        """Bake per-material combined texture pages (one-gather sampling)."""
-        assert self.atlas is not None, "scene has no texture atlas"
-        from ..ops.texture_combined import build_combined
+    def with_combined_textures(self, packed: bool = False) -> "Scene":
+        """Bake per-material combined texture pages (one-gather sampling).
 
+        ``packed=True`` quantizes to the u8/uint32-packed representation —
+        ~4× faster sampling at 1080p and RGBA8-texture-unit parity with the
+        reference, but not differentiable w.r.t. texels."""
+        assert self.atlas is not None, "scene has no texture atlas"
+        from ..ops.texture_combined import build_combined, build_combined_packed
+
+        build = build_combined_packed if packed else build_combined
         return dataclasses.replace(
-            self, combined_atlas=build_combined(self.materials, self.atlas)
+            self, combined_atlas=build(self.materials, self.atlas)
         )
 
 

@@ -53,7 +53,12 @@ from .ops import (
 from .ops.brdf import Lights, MaterialSample, compute_lighting, normal_sample_to_world_space
 from .ops.ibl import IBLMaps, ambient_ibl
 from .ops.texture import TextureAtlas, sample_atlas
-from .ops.texture_combined import CombinedAtlas, sample_combined
+from .ops.texture_combined import (
+    CombinedAtlas,
+    PackedCombinedAtlas,
+    sample_combined,
+    sample_combined_packed,
+)
 
 
 def shade_pixels(
@@ -128,7 +133,10 @@ def shade_pixels(
 
         if combined is not None:
             # One 4-tap gather for every slot (see ops/texture_combined.py).
-            smp = sample_combined(combined, mid, uv_t)
+            if isinstance(combined, PackedCombinedAtlas):
+                smp = sample_combined_packed(combined, mid, uv_t)
+            else:
+                smp = sample_combined(combined, mid, uv_t)
             t_diffuse = smp[..., 0:3]
             t_specular = smp[..., 3:6]
             t_metallic = smp[..., 6:7]

@@ -109,6 +109,23 @@ class AssetCache:
         path = os.path.join(self.root, dirname, filename)
         return jnp.asarray(load_hdr(path))
 
+    def load_sibl(self, name: str):
+        """Parse the environment's sIBL descriptor (.ibl): env/reflection
+        files + multipliers, sun and artist-placed lights. See models/sibl."""
+        from .models.sibl import find_ibl, parse_ibl
+
+        dirname, _ = ENVIRONMENTS[name]
+        path = find_ibl(os.path.join(self.root, dirname))
+        assert path is not None, f"no .ibl descriptor in {dirname}"
+        return parse_ibl(path)
+
+    def sibl_lights(self, name: str):
+        """Directional lights synthesized from the sIBL descriptor's
+        [Sun]/[LightN] hotspots."""
+        from .models.sibl import sibl_scene_lights
+
+        return sibl_scene_lights(self.load_sibl(name))
+
 
 # ---------------------------------------------------------------------------
 # Scene builders (the BASELINE.json configs)

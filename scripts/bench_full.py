@@ -84,6 +84,8 @@ def main():
 
     # config 2 full: textured PBR scene (58 spheres + textures)
     try:
+        s = scenes.pbr_scene(texture_size=512).with_combined_textures(packed=True)
+        bench_scene("pbr_scene_textured_packed", s, cam_grid)
         s = scenes.pbr_scene(texture_size=512).with_combined_textures()
         bench_scene("pbr_scene_textured_combined", s, cam_grid)
         bench_scene("pbr_scene_textured_separate", scenes.pbr_scene(texture_size=512), cam_grid)
@@ -92,7 +94,7 @@ def main():
 
     # config 3: rustediron sphere
     try:
-        s = scenes.rustediron_sphere_scene(texture_size=512).with_combined_textures()
+        s = scenes.rustediron_sphere_scene(texture_size=512).with_combined_textures(packed=True)
         bench_scene("rustediron_sphere", s, Camera.create(position=(0, 0, -3.0), aspect=W / H))
     except Exception as e:
         print(f"# rustediron skipped: {e}", flush=True)

@@ -114,3 +114,37 @@ def test_parallax_displacement():
     scene_plain = dataclasses.replace(scene_with(0.0), materials=mb.build())
     img_plain = np.asarray(render(scene_plain, cam, width=64, height=64))
     np.testing.assert_allclose(img0, img_plain, atol=1e-6)
+
+
+def test_packed_combined_matches_f32_combined():
+    """u8-packed pages reproduce the f32 combined sample within quantization
+    tolerance (≤ ~2/255 per channel after the sRGB round trip)."""
+    scene = _textured_scene()
+    from physically_based_renderer_tpu.ops.texture_combined import (
+        build_combined,
+        build_combined_packed,
+        sample_combined,
+        sample_combined_packed,
+    )
+
+    comb = build_combined(scene.materials, scene.atlas)
+    packed = build_combined_packed(scene.materials, scene.atlas)
+    rng = np.random.default_rng(3)
+    uv = jnp.asarray(rng.uniform(-0.5, 1.5, size=(257, 2)), jnp.float32)
+    mids = jnp.asarray(rng.integers(0, scene.materials.num_materials, size=257))
+    a = np.asarray(sample_combined(comb, mids, uv))[..., :12]
+    b = np.asarray(sample_combined_packed(packed, mids, uv))
+    np.testing.assert_allclose(a, b, atol=0.012)
+
+
+def test_packed_combined_render_close():
+    scene = _textured_scene()
+    cam = Camera.create(aspect=W / H)
+    a = render(scene.with_combined_textures(), cam, width=W, height=H)
+    b = render(scene.with_combined_textures(packed=True), cam, width=W, height=H)
+    d = np.abs(np.asarray(a) - np.asarray(b)).max(-1)
+    # u8 quantization of the normal map can swing peaky speculars by a lot
+    # on isolated pixels; the image as a whole must match tightly.
+    assert np.percentile(d, 99.5) < 0.02, np.percentile(d, 99.5)
+    assert d.mean() < 1e-3, d.mean()
+    assert (d > 0.05).mean() < 2e-3
