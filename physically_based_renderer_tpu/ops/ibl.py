@@ -249,10 +249,14 @@ def sample_equirect_dir(m: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     return sample_equirect(m, uv)[..., :3]
 
 
-def sample_equirect_dir_wide(m: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
-    """As above but keeps all channels (for stacked multi-level maps)."""
+def sample_equirect_dir_paired(m: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+    """Paired-row equirect sample along directions: 2 gathers instead of 4
+    (per-pixel gathers are latency-bound; these maps are tiny so the pairing
+    concat is free). Keeps all channels (stacked multi-level maps)."""
+    from .texture import pair_equirect, sample_equirect_paired
+
     uv = world_to_sky_uv(directions)
-    return sample_equirect(m, uv)
+    return sample_equirect_paired(pair_equirect(m), uv)
 
 
 def env_brdf_approx(ndotv: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
@@ -296,7 +300,7 @@ def ambient_ibl(
     ks = f0 + (1.0 - f0) * jnp.power(1.0 - ndotv, 5.0)[..., None]
     kd = (1.0 - ks) * (1.0 - metallic)[..., None]
 
-    irr = sample_equirect_dir(ibl.irradiance, n)
+    irr = sample_equirect_dir_paired(ibl.irradiance, n)[..., :3]
     diffuse = kd * irr * albedo
 
     r = 2.0 * ndotv[..., None] * n - v  # reflect(-v, n)
@@ -311,7 +315,7 @@ def ambient_ibl(
     if ibl.specular_stack is not None:
         # One 4-tap gather for the whole roughness chain; level selection is
         # an elementwise channel blend on the fetched row.
-        smp_all = sample_equirect_dir_wide(ibl.specular_stack, r)  # (..., L·3)
+        smp_all = sample_equirect_dir_paired(ibl.specular_stack, r)  # (..., L·3)
         for li in range(nl):
             sel0 = (l0 == li).astype(jnp.float32)[..., None]
             sel1 = (jnp.clip(l0 + 1, 0, nl - 1) == li).astype(jnp.float32)[..., None]

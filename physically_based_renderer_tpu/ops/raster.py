@@ -530,6 +530,9 @@ def interpolate_packed(
     # T-sized gathers) and fetch ONE wide row per pixel instead of three.
     cp = c + 4 + pad
     tri_table = packed[tris].reshape(tris.shape[0], 3 * cp)  # (T, 3·cp)
+    from .texture import pad_gather_rows
+
+    tri_table = pad_gather_rows(tri_table)  # avoid the slow-gather row zone
     data = tri_table[jnp.maximum(tri_id, 0)].reshape(*tri_id.shape, 3, cp)
     xy = data[..., c : c + 2]
     z = data[..., c + 2]

@@ -70,6 +70,11 @@ def camera_ray_directions(
 
 
 def sample_sky(env: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
-    """Radiance from the equirect env map along unit directions (..., 3)."""
+    """Radiance from the equirect env map along unit directions (..., 3).
+
+    Samples through the paired-row layout (2 gathers instead of 4 — the
+    pairing concat is a tiny per-frame copy, the gathers are per-pixel)."""
+    from .texture import pair_equirect, sample_equirect_paired
+
     uv = world_to_sky_uv(directions)
-    return sample_equirect(env, uv)[..., :3]
+    return sample_equirect_paired(pair_equirect(env), uv)[..., :3]

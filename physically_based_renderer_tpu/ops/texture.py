@@ -52,6 +52,22 @@ class TextureAtlas:
         return len(self.mips)
 
 
+# Measured XLA-TPU gather pathology (see PERF.md): tables whose ROW COUNT
+# falls in this zone gather ~2-3× slower (25 ms vs 8-12 ms for 2M indices at
+# 1080p), independent of row width and dtype. Padding the table past the
+# zone's upper edge restores full speed for the cost of a small concat.
+GATHER_BAD_LO = 229376
+GATHER_BAD_HI = 278528
+
+
+def pad_gather_rows(flat: jnp.ndarray) -> jnp.ndarray:
+    """Pad a (N, C) gather table's rows out of the slow-gather zone."""
+    n = flat.shape[0]
+    if GATHER_BAD_LO < n < GATHER_BAD_HI:
+        flat = jnp.pad(flat, ((0, GATHER_BAD_HI - n), (0, 0)))
+    return flat
+
+
 def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
     """Exact piecewise sRGB EOTF (what *_SRGB texture formats apply)."""
     return jnp.where(c <= 0.04045, c / 12.92, jnp.power((c + 0.055) / 1.055, 2.4))
@@ -152,7 +168,7 @@ def _gather_texels(level: jnp.ndarray, page: jnp.ndarray, iy: jnp.ndarray, ix: j
     """level (N,S,S,4); page/iy/ix (...,) int32 → (...,4). Flattened gather
     (one gather instr instead of three chained ones)."""
     n, s = level.shape[0], level.shape[1]
-    flat = level.reshape(n * s * s, 4)
+    flat = pad_gather_rows(level.reshape(n * s * s, 4))
     idx = (page * s + iy) * s + ix
     return flat[idx]
 
@@ -220,6 +236,42 @@ def sample_atlas(
             out0 = out0 + sel0 * smp
             out1 = out1 + sel1 * smp
     return out0 * (1.0 - frac) + out1 * frac
+
+
+def pair_equirect(m: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) → (H, W, 2C): each row stores its texel AND its right
+    (u-wrapped) neighbour side by side, so a bilinear sample needs only the
+    two row fetches (y0, y1) instead of four corner fetches — per-pixel
+    gathers are latency-bound, so this halves equirect sampling time."""
+    right = jnp.roll(m, -1, axis=1)
+    return jnp.concatenate([m, right], axis=-1)
+
+
+def sample_equirect_paired(
+    mp: jnp.ndarray, uv: jnp.ndarray, wrap_v: bool = True
+) -> jnp.ndarray:
+    """Bilinear equirect sample from a :func:`pair_equirect` map: 2 gathers.
+    Bit-identical texel selection to :func:`sample_equirect`."""
+    h, w = mp.shape[0], mp.shape[1]
+    c = mp.shape[-1] // 2
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x0w = jnp.mod(x0, w)
+    if wrap_v:
+        y0w, y1w = jnp.mod(y0, h), jnp.mod(y0 + 1, h)
+    else:
+        y0w, y1w = jnp.clip(y0, 0, h - 1), jnp.clip(y0 + 1, 0, h - 1)
+    flat = pad_gather_rows(mp.reshape(h * w, 2 * c))
+    top2 = flat[y0w * w + x0w]  # (..., 2C): texel x0 | texel x0+1
+    bot2 = flat[y1w * w + x0w]
+    top = top2[..., :c] * (1.0 - fx) + top2[..., c:] * fx
+    bot = bot2[..., :c] * (1.0 - fx) + bot2[..., c:] * fx
+    return (top * (1.0 - fy) + bot * fy).astype(jnp.float32)
 
 
 def sample_equirect(env: jnp.ndarray, uv: jnp.ndarray, wrap_v: bool = True) -> jnp.ndarray:

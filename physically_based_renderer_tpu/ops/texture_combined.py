@@ -40,7 +40,7 @@ from ..models.material import (
     SLOT_ROUGHNESS,
     SLOT_SPECULAR,
 )
-from .texture import TextureAtlas
+from .texture import TextureAtlas, pad_gather_rows
 
 NUM_COMBINED = 16
 
@@ -213,7 +213,7 @@ def sample_combined_packed(
         x0w, x1w = jnp.clip(x0, 0, s - 1), jnp.clip(x0 + 1, 0, s - 1)
         y0w, y1w = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
 
-    flat = words.reshape(-1, 4)
+    flat = pad_gather_rows(words.reshape(-1, 4))
     idx = (page * s + y0w) * s
     idx1 = (page * s + y1w) * s
     t00 = _unpack_tap(flat[idx + x0w])
@@ -248,7 +248,7 @@ def sample_combined(
         x0w, x1w = jnp.clip(x0, 0, s - 1), jnp.clip(x0 + 1, 0, s - 1)
         y0w, y1w = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
 
-    flat = pages.reshape(-1, NUM_COMBINED)
+    flat = pad_gather_rows(pages.reshape(-1, NUM_COMBINED))
     idx = (page * s + y0w) * s
     t00 = flat[idx + x0w]
     t01 = flat[idx + x1w]
