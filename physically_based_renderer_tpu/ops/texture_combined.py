@@ -115,10 +115,12 @@ class PackedCombinedAtlas:
       word0 = albedo.rgb (sRGB-encoded) | metallic  << 24
       word1 = specular.rgb (sRGB)       | roughness << 24
       word2 = normal.xyz (linear)       | opacity   << 24
-      word3 = 0 (pad to a 4-lane row)
+    Each row stores its own 3 words AND its u-wrapped right neighbour's
+    (paired rows, see texture.pair_equirect): a bilinear sample is then
+    TWO row gathers (y0 and y1) instead of four corner gathers.
     """
 
-    words: jnp.ndarray  # (P, S, S, 4) uint32
+    words: jnp.ndarray  # (P, S, S, 8) uint32: [self ×3 | right ×3 | 0 | 0]
     material_page: jnp.ndarray  # (M,) i32
 
     @property
@@ -148,8 +150,10 @@ def build_combined_packed(
     w0 = albedo[..., 0] | (albedo[..., 1] << 8) | (albedo[..., 2] << 16) | (metal << 24)
     w1 = spec[..., 0] | (spec[..., 1] << 8) | (spec[..., 2] << 16) | (rough << 24)
     w2 = normal[..., 0] | (normal[..., 1] << 8) | (normal[..., 2] << 16) | (opac << 24)
-    w3 = jnp.zeros_like(w0)
-    words = jnp.stack([w0, w1, w2, w3], axis=-1)
+    self3 = jnp.stack([w0, w1, w2], axis=-1)  # (P, S, S, 3)
+    right3 = jnp.roll(self3, -1, axis=2)  # u-wrapped right neighbour
+    pad = jnp.zeros(self3.shape[:-1] + (2,), self3.dtype)
+    words = jnp.concatenate([self3, right3, pad], axis=-1)  # (P, S, S, 8)
     return PackedCombinedAtlas(words=words, material_page=comb.material_page)
 
 
@@ -192,7 +196,8 @@ def sample_combined_packed(
     uv: jnp.ndarray,
     wrap: bool = True,
 ) -> jnp.ndarray:
-    """Bilinear sample of the packed pages: 4 taps of 4-lane uint32 rows,
+    """Bilinear sample of the packed pages: 2 gathers of 8-lane uint32 rows
+    (each row carries its right neighbour — 4 taps from 2 fetches),
     sRGB-decode per tap, then filter in linear space (RGBA8 HW parity).
     uv (..., 2) → (..., 12)."""
     words = packed.words
@@ -207,19 +212,22 @@ def sample_combined_packed(
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
     if wrap:
-        x0w, x1w = jnp.mod(x0, s), jnp.mod(x0 + 1, s)
+        x0w = jnp.mod(x0, s)
         y0w, y1w = jnp.mod(y0, s), jnp.mod(y0 + 1, s)
     else:
-        x0w, x1w = jnp.clip(x0, 0, s - 1), jnp.clip(x0 + 1, 0, s - 1)
+        # Clamp mode: the paired row's right half is the WRAPPED neighbour,
+        # wrong at the clamped border; clamping x0 to s-2 keeps x1=x0+1
+        # in-range (edge-texel duplication at the border, one texel early).
+        x0w = jnp.clip(x0, 0, s - 2)
         y0w, y1w = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
 
-    flat = pad_gather_rows(words.reshape(-1, 4))
-    idx = (page * s + y0w) * s
-    idx1 = (page * s + y1w) * s
-    t00 = _unpack_tap(flat[idx + x0w])
-    t01 = _unpack_tap(flat[idx + x1w])
-    t10 = _unpack_tap(flat[idx1 + x0w])
-    t11 = _unpack_tap(flat[idx1 + x1w])
+    flat = pad_gather_rows(words.reshape(-1, 8))
+    top2 = flat[(page * s + y0w) * s + x0w]  # (..., 8)
+    bot2 = flat[(page * s + y1w) * s + x0w]
+    t00 = _unpack_tap(top2[..., 0:3])
+    t01 = _unpack_tap(top2[..., 3:6])
+    t10 = _unpack_tap(bot2[..., 0:3])
+    t11 = _unpack_tap(bot2[..., 3:6])
     top = t00 * (1.0 - fx) + t01 * fx
     bot = t10 * (1.0 - fx) + t11 * fx
     return top * (1.0 - fy) + bot * fy
