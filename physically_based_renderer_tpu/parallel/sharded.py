@@ -63,6 +63,7 @@ def render_sharded(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(ROWS_AXIS),
+        check_vma=False,  # see make_train_step: custom_vjp material fetch
     )
     def _render_band(scene_rep, cam_rep):
         i = jax.lax.axis_index(ROWS_AXIS)
@@ -108,6 +109,11 @@ def make_train_step(
             mesh=mesh,
             in_specs=(P(), P(), P(ROWS_AXIS)),
             out_specs=P(),
+            # The shading stage's material fetch is a custom_vjp (ops/fetch.py)
+            # whose backward's varying-axes type can't be statically inferred;
+            # transpose semantics (psum of replicated-input cotangents) are
+            # unchanged — only the static check is disabled.
+            check_vma=False,
         )
         def band_loss(scene_rep, cam_rep, target_band):
             i = jax.lax.axis_index(ROWS_AXIS)
@@ -198,7 +204,8 @@ def render_tri_sharded(
     band = height // n
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(TRIS_AXIS)
+        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(TRIS_AXIS),
+        check_vma=False,  # see make_train_step: custom_vjp material fetch
     )
     def _render(scene_rep: Scene, cam_rep: Camera):
         i = jax.lax.axis_index(TRIS_AXIS)

@@ -51,6 +51,7 @@ from .ops import (
     tonemap as tonemap_ops,
 )
 from .ops.brdf import Lights, MaterialSample, compute_lighting, normal_sample_to_world_space
+from .ops.fetch import fetch_columns
 from .ops.ibl import IBLMaps, ambient_ibl
 from .ops.texture import TextureAtlas, sample_atlas
 from .ops.texture_combined import (
@@ -85,27 +86,45 @@ def shade_pixels(
     single kernel covers every layer — uniform control flow for the VPU.
     """
     mid = material_id
+    textured = combined is not None or atlas is not None
 
     # Renormalize interpolated normal (Default.hlsl:50); tangent frame is used
     # raw, as the reference does.
     n_geom = math3d.normalize(normal_w)
     v = math3d.normalize(eye - pos_w)
 
-    # Material UV transform (g_MatTransform, Default.hlsl:42): [u,v,1] @ A.
-    a = materials.uv_transform[mid]  # (..., 3, 2)
-    uv_t = (
-        uv[..., 0:1] * a[..., 0, :] + uv[..., 1:2] * a[..., 1, :] + a[..., 2, :]
-    )
+    # Constant (cbMaterial) properties: ONE consolidated per-pixel table fetch
+    # (exact gather forward, one-hot MXU matmul backward — see ops/fetch.py;
+    # the naive per-field gather's scatter-add pullback was ~17 ms/frame).
+    m = materials.num_materials
+    cols = [
+        materials.diffuse,  # 0:3
+        materials.metallic[:, None],  # 3
+        materials.fresnel_r0,  # 4:7
+        materials.roughness[:, None],  # 7
+        materials.opacity[:, None],  # 8
+    ]
+    if textured:
+        cols += [
+            materials.height_scale[:, None],  # 9
+            materials.uv_transform.reshape(m, 6),  # 10:16
+            materials.has_tex,  # 16:28
+        ]
+    props = fetch_columns(jnp.concatenate(cols, axis=-1), mid)
+    c_diffuse = props[..., 0:3]
+    c_metallic = props[..., 3]
+    c_f0 = props[..., 4:7]
+    c_roughness = props[..., 7]
+    c_opacity = props[..., 8]
 
-    # Constant (cbMaterial) properties.
-    c_diffuse = materials.diffuse[mid]
-    c_metallic = materials.metallic[mid]
-    c_f0 = materials.fresnel_r0[mid]
-    c_roughness = materials.roughness[mid]
-    c_opacity = materials.opacity[mid]
+    if textured:
+        has = props[..., 16:28]  # (..., 12)
 
-    if combined is not None or atlas is not None:
-        has = materials.has_tex[mid]  # (..., 12)
+        # Material UV transform (g_MatTransform, Default.hlsl:42): [u,v,1] @ A.
+        a = props[..., 10:16].reshape(*uv.shape[:-1], 3, 2)
+        uv_t = (
+            uv[..., 0:1] * a[..., 0, :] + uv[..., 1:2] * a[..., 1, :] + a[..., 2, :]
+        )
 
         # Parallax offset mapping — the displacement path the reference left
         # commented out (Default.hlsl:55-69), completed here: offset the uv
@@ -127,7 +146,7 @@ def shade_pixels(
                 ],
                 axis=-1,
             )
-            h_scale = materials.height_scale[mid]
+            h_scale = props[..., 9]
             uv_off = v_tan * (t_height * h_scale)[..., None]
             uv_t = uv_t - h_disp[..., None] * uv_off
 
