@@ -60,34 +60,8 @@ def project_to_screen(verts_clip: jnp.ndarray, width: int, height: int):
     return jnp.stack([px, py], axis=-1), ndc[:, 2], inv_w
 
 
-def setup_triangles(
-    verts_clip: jnp.ndarray,
-    tris: jnp.ndarray,
-    width: int,
-    height: int,
-    cull_backface: bool = True,
-    tri_mask: jnp.ndarray | None = None,
-) -> ScreenTris:
-    """Gather per-triangle corner data and compute validity/culling.
-
-    All per-vertex quantities are packed into ONE 8-lane-aligned table and
-    fetched with a single corner gather: TPU gathers are row-latency-bound,
-    and 32-byte-aligned rows gather ~6× faster than narrow ones (measured),
-    so one (V,8) gather beats four narrow ones by >4×."""
-    xy_all, z_all, invw_all = project_to_screen(verts_clip, width, height)
-    w_all = verts_clip[:, 3]
-
-    zero = jnp.zeros_like(w_all)
-    table = jnp.stack(
-        [xy_all[:, 0], xy_all[:, 1], z_all, invw_all, w_all, zero, zero, zero],
-        axis=-1,
-    )  # (V, 8)
-    g = table[tris]  # (T, 3, 8) — the single corner gather
-    xy = g[..., 0:2]
-    z = g[..., 2]
-    inv_w = g[..., 3]
-    w = g[..., 4]
-
+def _setup_from_corner_data(xy, z, inv_w, w, cull_backface, tri_mask) -> ScreenTris:
+    """Common setup tail: signed area, facing/in-front validity."""
     e01 = xy[:, 1] - xy[:, 0]
     e02 = xy[:, 2] - xy[:, 0]
     area = e01[:, 0] * e02[:, 1] - e01[:, 1] * e02[:, 0]
@@ -101,6 +75,61 @@ def setup_triangles(
     if tri_mask is not None:
         valid = valid & tri_mask
     return ScreenTris(xy=xy, z=z, inv_w=inv_w, area=area, valid=valid)
+
+
+def setup_triangles(
+    verts_clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_backface: bool = True,
+    tri_mask: jnp.ndarray | None = None,
+) -> ScreenTris:
+    """Gather per-triangle corner data and compute validity/culling.
+
+    All per-vertex quantities are packed into ONE 8-lane-aligned table and
+    fetched with a single corner gather: TPU gathers are row-latency-bound,
+    and 32-byte-aligned rows gather ~6× faster than narrow ones (measured),
+    so one (V,8) gather beats four narrow ones by >4×. (The corner-major
+    hot path, :func:`setup_corners`, avoids even this gather.)"""
+    xy_all, z_all, invw_all = project_to_screen(verts_clip, width, height)
+    w_all = verts_clip[:, 3]
+
+    zero = jnp.zeros_like(w_all)
+    table = jnp.stack(
+        [xy_all[:, 0], xy_all[:, 1], z_all, invw_all, w_all, zero, zero, zero],
+        axis=-1,
+    )  # (V, 8)
+    g = table[tris]  # (T, 3, 8) — the single corner gather
+    return _setup_from_corner_data(
+        g[..., 0:2], g[..., 2], g[..., 3], g[..., 4], cull_backface, tri_mask
+    )
+
+
+def project_corners(corner_clip: jnp.ndarray, width: int, height: int):
+    """Corner-major clip (T,3,4) → pixel xy (T,3,2), depth (T,3), 1/w (T,3)."""
+    w = corner_clip[..., 3]
+    inv_w = jnp.where(jnp.abs(w) > W_EPS, 1.0 / w, 0.0)
+    ndc = corner_clip[..., :3] * inv_w[..., None]
+    px = (ndc[..., 0] + 1.0) * (0.5 * width)
+    py = (1.0 - ndc[..., 1]) * (0.5 * height)
+    return jnp.stack([px, py], axis=-1), ndc[..., 2], inv_w
+
+
+def setup_corners(
+    corner_clip: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_backface: bool = True,
+    tri_mask: jnp.ndarray | None = None,
+) -> ScreenTris:
+    """Setup from CORNER-MAJOR clip coordinates (T,3,4): pure vector math,
+    zero gathers — the hot-path variant of :func:`setup_triangles` (see
+    ``models.scene.CornerGeometry``)."""
+    xy, z, inv_w = project_corners(corner_clip, width, height)
+    return _setup_from_corner_data(
+        xy, z, inv_w, corner_clip[..., 3], cull_backface, tri_mask
+    )
 
 
 def _edge_coeffs(st: ScreenTris):
@@ -163,7 +192,7 @@ def _pad_tris(a: jnp.ndarray, block: int, fill=0):
 )
 def rasterize(
     verts_clip: jnp.ndarray,
-    tris: jnp.ndarray,
+    tris: jnp.ndarray | None,
     *,
     width: int,
     height: int,
@@ -197,7 +226,10 @@ def rasterize(
         rows = height
     pad_h = (-rows) % tile_h
     pad_w = (-width) % tile_w
-    st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+    if tris is None:  # corner-major input: verts_clip is (T,3,4)
+        st = setup_corners(verts_clip, width, height, cull_backface, tri_mask)
+    else:
+        st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
     rows_p, width_p = rows + pad_h, width + pad_w
     y_offset = jnp.asarray(y_offset, jnp.float32)
     ea, eb, ec, ex0, ey0 = _edge_coeffs(st)
@@ -409,7 +441,7 @@ def rasterize(
 
 def rasterize_brute(
     verts_clip: jnp.ndarray,
-    tris: jnp.ndarray,
+    tris: jnp.ndarray | None,
     *,
     width: int,
     height: int,
@@ -417,8 +449,12 @@ def rasterize_brute(
     tri_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Oracle: all pixels × all triangles in one broadcast. O(H·W·T) memory —
-    only for small test images. Must agree exactly with :func:`rasterize`."""
-    st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+    only for small test images. Must agree exactly with :func:`rasterize`.
+    ``tris=None`` → corner-major ``verts_clip`` (T,3,4)."""
+    if tris is None:
+        st = setup_corners(verts_clip, width, height, cull_backface, tri_mask)
+    else:
+        st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
     ea, eb, ec, ex0, ey0 = _edge_coeffs(st)
     py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
     px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
@@ -534,6 +570,44 @@ def interpolate_packed(
 
     tri_table = pad_gather_rows(tri_table)  # avoid the slow-gather row zone
     data = tri_table[jnp.maximum(tri_id, 0)].reshape(*tri_id.shape, 3, cp)
+    return _interp_from_rows(data, c, tri_id, y_offset, clamp)
+
+
+def interpolate_corners(
+    corner_attrs: jnp.ndarray,  # (T, 3, C) corner-major attributes
+    corner_clip: jnp.ndarray,  # (T, 3, 4) corner-major clip coords
+    tri_id: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    y_offset: jnp.ndarray | int = 0,
+    clamp: bool = False,
+):
+    """Corner-major twin of :func:`interpolate_packed`: the per-triangle
+    table is a pure reshape of the corner-major arrays (no [tris] gather),
+    leaving the per-pixel row fetch as the only gather of the G-buffer stage.
+
+    Returns (attrs (H,W,C), depth (H,W), mask (H,W))."""
+    xy_c, z_c, invw_c = project_corners(corner_clip, width, height)
+    c = corner_attrs.shape[-1]
+    packed = jnp.concatenate(
+        [corner_attrs, xy_c, z_c[..., None], invw_c[..., None]], axis=-1
+    )  # (T, 3, C+4)
+    pad = (-(c + 4)) % 8  # 32-byte-align rows: aligned gathers are ~6× faster
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
+    cp = c + 4 + pad
+    tri_table = packed.reshape(packed.shape[0], 3 * cp)
+    from .texture import pad_gather_rows
+
+    tri_table = pad_gather_rows(tri_table)  # avoid the slow-gather row zone
+    data = tri_table[jnp.maximum(tri_id, 0)].reshape(*tri_id.shape, 3, cp)
+    return _interp_from_rows(data, c, tri_id, y_offset, clamp)
+
+
+def _interp_from_rows(data, c, tri_id, y_offset, clamp):
+    """Shared per-pixel interpolation tail: edge/bary math on gathered
+    corner rows ``data`` (..., 3, cp) with layout [attrs(c), xy, z, 1/w]."""
     xy = data[..., c : c + 2]
     z = data[..., c + 2]
     inv_w = data[..., c + 3]

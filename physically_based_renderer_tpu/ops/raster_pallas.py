@@ -27,11 +27,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raster import interpolate_packed, setup_triangles
+from .raster import interpolate_corners, interpolate_packed, setup_corners, setup_triangles
 from .raster_bin import GBUF_FIELD0, NUM_FIELDS, bin_triangles
 
 CHUNK = 128  # triangles per DMA chunk (lane width)
-_MM_PRECISION = jax.lax.Precision.HIGHEST  # see gbuf kernel note
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,  # 1 bf16 MXU pass (~3 digits)
+    "high": jax.lax.Precision.HIGH,  # 3 passes (~6 digits, near-f32)
+    "highest": jax.lax.Precision.HIGHEST,  # 6 passes (full f32)
+}
 
 
 def _raster_tile_kernel(
@@ -192,6 +196,7 @@ def _raster_tile_gbuf_kernel(
     tiles_x: int,
     mat_stride: int,
     num_ch: int,  # interpolation channels incl. the trailing 1/w
+    mm_precision,
 ):
     """Fused raster + G-buffer-interpolation kernel.
 
@@ -288,15 +293,17 @@ def _raster_tile_gbuf_kernel(
                 keepdims=True,
             )
             onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
-            # HIGHEST precision is required: the default MXU path truncates
-            # f32 operands to bf16, which rounds the selected field rows to
-            # ~3 digits (visible as 1e-2 attribute error). The one-hot side
-            # is exact either way; the field side needs full f32 passes.
+            # Winner-field extraction as a one-hot MXU matmul. Precision is a
+            # caller knob: HIGHEST reproduces f32 attributes exactly (6 MXU
+            # passes); HIGH is ~f32 to 1e-6 at half the cost; DEFAULT rounds
+            # the selected field rows to bf16 (~0.4% — below the u8 output
+            # quantization step, invisible in images). The one-hot side is
+            # exact at every precision.
             cand = jax.lax.dot_general(
                 onehot,
                 f,
                 (((1,), (1,)), ((), ())),
-                precision=_MM_PRECISION,
+                precision=mm_precision,
                 preferred_element_type=jnp.float32,
             )  # (P, NF) — the winning lane's field row
 
@@ -357,7 +364,7 @@ def _raster_tile_gbuf_kernel(
 )
 def rasterize_binned(
     verts_clip: jnp.ndarray,
-    tris: jnp.ndarray,
+    tris: jnp.ndarray | None,
     *,
     width: int,
     height: int,
@@ -382,10 +389,15 @@ def rasterize_binned(
 
     With ``face_material`` (T,) + static ``num_materials``, returns
     (tri_id, material_id) — the material resolve rides the kernel's winner
-    reduction for free instead of a slow XLA gather."""
+    reduction for free instead of a slow XLA gather.
+
+    ``tris=None`` switches to corner-major input: ``verts_clip`` is (T,3,4)
+    clip coordinates (see ``models.scene.CornerGeometry``) — the gather-free
+    hot path."""
     if rows is None:
         rows = height
     y_offset = jnp.asarray(y_offset, jnp.int32)
+    num_t = verts_clip.shape[0] if tris is None else tris.shape[0]
 
     want_material = face_material is not None
     mat_stride = 1
@@ -393,11 +405,14 @@ def rasterize_binned(
     if want_material:
         assert num_materials > 0, "pass static num_materials with face_material"
         mat_stride = 1 << max(1, (num_materials - 1).bit_length())
-        encode_material = tris.shape[0] * mat_stride < (1 << 31)
+        encode_material = num_t * mat_stride < (1 << 31)
         if not encode_material:
             mat_stride = 1  # fallback: resolve material by XLA gather below
 
-    st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+    if tris is None:
+        st = setup_corners(verts_clip, width, height, cull_backface, tri_mask)
+    else:
+        st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
     binned = bin_triangles(
         st,
         width=width,
@@ -488,12 +503,13 @@ def rasterize_binned(
         "cull_backface",
         "num_materials",
         "interpret",
+        "mm_precision",
     ),
 )
 def rasterize_binned_gbuffer(
     verts_clip: jnp.ndarray,
-    tris: jnp.ndarray,
-    packed_attrs: jnp.ndarray,  # (V, C) vertex attributes to interpolate
+    tris: jnp.ndarray | None,
+    packed_attrs: jnp.ndarray,  # (V, C) vertex attrs, or (T, 3, C) corner-major
     *,
     width: int,
     height: int,
@@ -509,6 +525,7 @@ def rasterize_binned_gbuffer(
     face_material: jnp.ndarray | None = None,
     num_materials: int = 0,
     interpret: bool = False,
+    mm_precision: str = "highest",
 ):
     """Fused binned raster + G-buffer: one Pallas pass → per-pixel
     perspective-correct attributes, depth, triangle id (and material id).
@@ -520,10 +537,14 @@ def rasterize_binned_gbuffer(
     :func:`raster_gbuffer` for the custom-VJP wrapper.
 
     Returns (attrs (rows,W,C), depth (rows,W), tri_id (rows,W) i32,
-    mat_id (rows,W) i32 or None)."""
+    mat_id (rows,W) i32 or None).
+
+    ``tris=None`` switches to corner-major input: ``verts_clip`` (T,3,4) and
+    ``packed_attrs`` (T,3,C) — zero per-triangle gathers."""
     if rows is None:
         rows = height
     y_offset = jnp.asarray(y_offset, jnp.int32)
+    num_t = verts_clip.shape[0] if tris is None else tris.shape[0]
 
     want_material = face_material is not None
     mat_stride = 1
@@ -531,14 +552,18 @@ def rasterize_binned_gbuffer(
     if want_material:
         assert num_materials > 0, "pass static num_materials with face_material"
         mat_stride = 1 << max(1, (num_materials - 1).bit_length())
-        encode_material = tris.shape[0] * mat_stride < (1 << 31)
+        encode_material = num_t * mat_stride < (1 << 31)
         if not encode_material:
             mat_stride = 1
 
-    st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+    if tris is None:
+        st = setup_corners(verts_clip, width, height, cull_backface, tri_mask)
+        corner_attrs = packed_attrs  # already (T, 3, C)
+    else:
+        st = setup_triangles(verts_clip, tris, width, height, cull_backface, tri_mask)
+        corner_attrs = packed_attrs[tris]  # (T, 3, C)
     # Interpolation channels: attr·(1/w) per corner + trailing 1/w — the
     # numerator/denominator planes of perspective-correct interpolation.
-    corner_attrs = packed_attrs[tris]  # (T, 3, C)
     corner_channels = jnp.concatenate(
         [corner_attrs * st.inv_w[..., None], st.inv_w[..., None]], axis=-1
     )
@@ -599,6 +624,7 @@ def rasterize_binned_gbuffer(
         tiles_x=tiles_x,
         mat_stride=mat_stride if encode_material else 1,
         num_ch=num_ch,
+        mm_precision=_PRECISIONS[mm_precision],
     )
     tile_ids, tile_gb = pl.pallas_call(
         kernel,
@@ -645,7 +671,7 @@ def rasterize_binned_gbuffer(
 def raster_gbuffer(
     verts_clip: jnp.ndarray,
     packed_attrs: jnp.ndarray,
-    tris: jnp.ndarray,
+    tris: jnp.ndarray | None,
     face_material: jnp.ndarray | None = None,
     *,
     width: int,
@@ -657,6 +683,7 @@ def raster_gbuffer(
     cull_backface: bool = True,
     num_materials: int = 0,
     interpret: bool = False,
+    mm_precision: str = "highest",
 ):
     """Differentiable fused raster + G-buffer (custom VJP).
 
@@ -685,6 +712,7 @@ def raster_gbuffer(
             face_material=fm_,
             num_materials=num_materials,
             interpret=interpret,
+            mm_precision=mm_precision,
         )
 
     def fused_fwd(vc, pa, tris_, fm_, y_off_):
@@ -702,15 +730,15 @@ def raster_gbuffer(
         g_depth = jnp.where(hit, g[1], 0.0)
 
         def interp(vc_, pa_):
-            a, d, _m = interpolate_packed(
-                pa_,
-                vc_,
-                tris_,
-                tri_id,
-                width=width,
-                height=height,
-                y_offset=y_off_,
-            )
+            if tris_ is None:
+                a, d, _m = interpolate_corners(
+                    pa_, vc_, tri_id, width=width, height=height, y_offset=y_off_
+                )
+            else:
+                a, d, _m = interpolate_packed(
+                    pa_, vc_, tris_, tri_id,
+                    width=width, height=height, y_offset=y_off_,
+                )
             return a, d
 
         _, pull = jax.vjp(interp, vc, pa)
@@ -718,7 +746,7 @@ def raster_gbuffer(
         import numpy as np
 
         f0 = jax.dtypes.float0
-        g_tris = np.zeros(tris_.shape, dtype=f0)
+        g_tris = None if tris_ is None else np.zeros(tris_.shape, dtype=f0)
         g_fm = (
             None
             if face_material is None

@@ -42,7 +42,7 @@ from .models.material import (
     SLOT_ROUGHNESS,
     SLOT_SPECULAR,
 )
-from .models.scene import FlatGeometry, Scene, flatten_scene
+from .models.scene import FlatGeometry, Scene, flatten_scene, flatten_scene_corners
 from .ops import (
     raster,
     raster_pallas,
@@ -235,6 +235,7 @@ def shade_pixels(
         "cull_backface",
         "apply_tonemap",
         "raster_backend",
+        "gbuf_precision",
     ),
 )
 def render(
@@ -251,6 +252,7 @@ def render(
     cull_backface: bool = True,
     apply_tonemap: bool = True,
     raster_backend: str = "auto",
+    gbuf_precision: str = "highest",
 ) -> jnp.ndarray:
     """Render the scene → (rows, W, 4) float32, display-encoded RGBA in [0,1].
 
@@ -264,42 +266,35 @@ def render(
     for tiny CPU reference renders)."""
     if rows is None:
         rows = height
-    geom = flatten_scene(scene)
+    # Corner-major geometry (models/scene.py CornerGeometry): the hot path
+    # carries no vertex indices, so raster setup / binning / interpolation
+    # run gather-free. Static channel specialisation (the shader-permutation
+    # idea applied to the G-buffer): untextured scenes skip
+    # tangent/bitangent/uv entirely.
+    textured = scene.atlas is not None
+    geom = flatten_scene_corners(scene, textured=textured)
     vp = camera.view_proj()
-    clip = math3d.transform_points_h(geom.pos_w, vp)
+    clip = math3d.transform_points_h(geom.pos_w, vp)  # (T, 3, 4)
+    packed = geom.attrs  # (T, 3, C) with C = 6 or 14
 
     backend = raster_backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
-
-    # Static channel specialisation (the shader-permutation idea applied to
-    # the G-buffer): untextured scenes skip tangent/bitangent/uv entirely —
-    # the per-pixel attribute fetch is the deferred stage's dominant cost.
-    textured = scene.atlas is not None
-    if textured:
-        packed = jnp.concatenate(
-            [geom.pos_w, geom.normal_w, geom.tangent_w, geom.bitangent_w, geom.uv],
-            axis=-1,
-        )  # (V, 14)
-    else:
-        packed = jnp.concatenate([geom.pos_w, geom.normal_w], axis=-1)  # (V, 6)
+        backend = "pallas_gbuf" if jax.default_backend() != "cpu" else "jnp"
 
     pix_mat_k = None
     fused_gbuf = backend in ("pallas_gbuf", "pallas_gbuf_interpret")
     if backend == "brute":
         assert rows == height, "brute rasterizer renders full frames only"
         tri_id = raster.rasterize_brute(
-            clip, geom.tris, width=width, height=height, cull_backface=cull_backface
+            clip, None, width=width, height=height, cull_backface=cull_backface
         )
     elif fused_gbuf:
         # Fused raster + G-buffer kernel: attrs come straight out of the
         # raster pass (plane-evaluated in VMEM), no per-pixel XLA gather.
-        # Roughly breaks even with the unfused path on one chip (the winner
-        # one-hot matmul is MXU-latency-bound); kept as a selectable backend.
         attrs, _depth, tri_id, pix_mat_k = raster_pallas.raster_gbuffer(
             clip,
             packed,
-            geom.tris,
+            None,
             geom.face_material,
             width=width,
             height=height,
@@ -310,12 +305,13 @@ def render(
             cull_backface=cull_backface,
             num_materials=scene.materials.num_materials,
             interpret=(backend == "pallas_gbuf_interpret"),
+            mm_precision=gbuf_precision,
         )
         mask = tri_id >= 0
     elif backend in ("pallas", "pallas_interpret"):
         tri_id, pix_mat_k = raster_pallas.rasterize_binned(
             clip,
-            geom.tris,
+            None,
             width=width,
             height=height,
             rows=rows,
@@ -330,7 +326,7 @@ def render(
     elif backend == "jnp":
         tri_id = raster.rasterize(
             clip,
-            geom.tris,
+            None,
             width=width,
             height=height,
             rows=rows,
@@ -344,8 +340,8 @@ def render(
         raise ValueError(f"unknown raster_backend {raster_backend!r}")
 
     if not fused_gbuf:
-        attrs, _depth, mask = raster.interpolate_packed(
-            packed, clip, geom.tris, tri_id, width=width, height=height, y_offset=y_offset
+        attrs, _depth, mask = raster.interpolate_corners(
+            packed, clip, tri_id, width=width, height=height, y_offset=y_offset
         )
     pos_w = attrs[..., 0:3]
     normal_w = attrs[..., 3:6]

@@ -82,9 +82,10 @@ def test_render_pallas_backend_matches_jnp():
     cam = Camera.create(aspect=W / H)
     a = render(scene, cam, width=W, height=H, raster_backend="jnp")
     b = render(scene, cam, width=W, height=H, raster_backend="pallas_interpret")
-    # The fused G-buffer kernel interpolates via screen-space planes; its
-    # fp32 rounding differs from the gather path by a few ulp at edges.
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # Same interpolation math (interpolate_corners) on the same tri ids —
+    # the paths differ only in the raster kernel, so they agree to fp32 ulp.
+    # (Fused G-buffer parity lives in test_raster_gbuf.py.)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_material_resolve_matches_gather():
