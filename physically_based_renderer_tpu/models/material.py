@@ -82,6 +82,10 @@ class MaterialBank:
     # Static feature flag: any material binds a displacement map → the
     # parallax uv-offset path compiles in (otherwise zero cost).
     any_displacement: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Static feature flag: any alpha-tested material → render() compiles in
+    # the second depth-peel pass (clip(opacity-0.1), Default.hlsl:111-116);
+    # scenes without alpha test pay nothing.
+    any_alpha_test: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def num_materials(self) -> int:
@@ -183,4 +187,5 @@ class MaterialBuilder:
             any_displacement=any(
                 r["has_tex"][SLOT_DISPLACEMENT] > 0 for r in self._rows
             ),
+            any_alpha_test=any(r["alpha_test"] > 0 for r in self._rows),
         )

@@ -75,6 +75,10 @@ class Scene:
     env_map: jnp.ndarray | None = None  # (He, We, 3) equirect HDR sky
     ibl: IBLMaps | None = None  # precomputed irradiance/specular/LUT (replaces
     # the constant-ambient term when set — the reference's g_SkyArray[1] slot)
+    sky_map: jnp.ndarray | None = None  # visible-sky override: the sIBL set's
+    # hi-res LDR background (the reference's g_SkyArray[0], PBRApp.cpp:1199-
+    # 1208). When None the skybox samples env_map. May be pre-paired
+    # (channels doubled, ops/texture.pair_equirect) to skip per-frame copies.
     combined_atlas: object | None = None  # CombinedAtlas — the fast one-gather
     # texture path (build with .with_combined_textures())
     clear_color: jnp.ndarray = dataclasses.field(

@@ -79,6 +79,39 @@ class SIBLSet:
         img = load_hdr(os.path.join(self.directory, self.reflection_file))
         return img * np.float32(self.reflection_multiplier)
 
+    def load_background(self) -> np.ndarray | None:
+        """Visible-sky source, (H, W, 3) float32 — what the skybox pass
+        samples, mirroring the reference's choice of the sIBL set's LDR
+        sky image over the small HDR env (``PBRApp.cpp:1199-1208`` loads
+        ``*_3k.png``/``*_Env.png`` for the g_SkyArray[0] background slot).
+
+        Tries, in order: the descriptor's BGfile, any ``*_[0-9]k`` hi-res
+        LDR beside it, the LDR ``*_Env.png``. LDR pixel values are returned
+        RAW in [0,1] (no sRGB decode) — the reference samples the PNG as
+        UNORM and tonemaps the raw values (``Skybox.hlsl:44-47``). Returns
+        None if no LDR background exists (callers fall back to the HDR env).
+        """
+        from ..utils.image_io import load_hdr, load_image
+
+        candidates: list[str] = []
+        if self.background_file:
+            candidates.append(self.background_file)
+        for f in sorted(os.listdir(self.directory)):
+            fl = f.lower()
+            if re.search(r"_\d+k\.(png|jpg|jpeg)$", fl) or fl.endswith("_env.png"):
+                candidates.append(f)
+        for name in candidates:
+            path = os.path.join(self.directory, name)
+            if not os.path.exists(path):
+                continue
+            if name.lower().endswith(".hdr"):
+                return load_hdr(path).astype(np.float32)
+            img = load_image(path)  # (H, W, C) uint8
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+            return (img[..., :3].astype(np.float32)) / 255.0
+        return None
+
     def directional_lights(self) -> list[SIBLLight]:
         out = list(self.lights)
         if self.sun is not None:

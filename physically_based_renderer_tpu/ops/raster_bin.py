@@ -55,6 +55,19 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+@functools.cache
+def _backend_supports_callbacks() -> bool:
+    """The axon tunnel PJRT plugin cannot host jax.debug callbacks
+    (UNIMPLEMENTED host send/recv); CPU and regular TPU/GPU backends can."""
+    try:
+        from jax._src import xla_bridge
+
+        ver = getattr(xla_bridge.get_backend(), "platform_version", "") or ""
+        return "axon" not in ver.lower()
+    except Exception:
+        return False
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BinnedTris:
@@ -71,6 +84,7 @@ def pack_triangle_fields(
     st: ScreenTris,
     face_material: jnp.ndarray | None = None,
     corner_channels: jnp.ndarray | None = None,
+    normalize_edges: bool = False,
 ) -> jnp.ndarray:
     """Per-triangle kernel constants, (T, NUM_FIELDS[+3·CH pad8]) f32.
 
@@ -81,9 +95,20 @@ def pack_triangle_fields(
     three CH-wide blocks [gx | gy | gc] at field 16."""
     a, b, c0, x0, y0 = _edge_coeffs(st)  # (T,3)*3, (T,), (T,)
     inv_area = 1.0 / jnp.abs(st.area)
-    za = jnp.sum(a * st.z, axis=-1) * inv_area
-    zb = jnp.sum(b * st.z, axis=-1) * inv_area
-    zc = jnp.sum(c0 * st.z, axis=-1) * inv_area
+    za_src, zb_src, zc_src = a, b, c0  # depth plane uses the RAW edges
+    if normalize_edges:
+        # Scale each edge function to unit gradient (÷|∇e| = √(a²+b²)) so the
+        # kernel's dilated test ``e ≥ −margin`` measures margin in PIXELS —
+        # the Pallas analog of the jnp rasterizer's e ≥ −margin·|∇e| test.
+        # Sign (= coverage at margin 0) is unchanged; only enabled for the
+        # soft/dilated path to keep the hard path bit-exact vs the jnp one.
+        inv_len = jax.lax.rsqrt(jnp.maximum(a * a + b * b, 1e-20))
+        a = a * inv_len
+        b = b * inv_len
+        c0 = c0 * inv_len
+    za = jnp.sum(za_src * st.z, axis=-1) * inv_area
+    zb = jnp.sum(zb_src * st.z, axis=-1) * inv_area
+    zc = jnp.sum(zc_src * st.z, axis=-1) * inv_area
     zero = jnp.zeros_like(x0)
     mat = zero if face_material is None else face_material.astype(jnp.float32)
     base = jnp.stack(
@@ -102,9 +127,9 @@ def pack_triangle_fields(
     # Plane coefficients per channel: value_i at the 3 corners → the linear
     # screen-space plane through them, via the same bary identity as z above.
     ch = corner_channels
-    gx = jnp.einsum("ti,tic->tc", a, ch) * inv_area[:, None]
-    gy = jnp.einsum("ti,tic->tc", b, ch) * inv_area[:, None]
-    gc = jnp.einsum("ti,tic->tc", c0, ch) * inv_area[:, None]
+    gx = jnp.einsum("ti,tic->tc", za_src, ch) * inv_area[:, None]
+    gy = jnp.einsum("ti,tic->tc", zb_src, ch) * inv_area[:, None]
+    gc = jnp.einsum("ti,tic->tc", zc_src, ch) * inv_area[:, None]
     out = jnp.concatenate([base, gx, gy, gc], axis=-1)
     pad = _round_up(out.shape[-1], 8) - out.shape[-1]
     if pad:
@@ -124,6 +149,7 @@ def pack_triangle_fields(
         "pairs_cap",
         "chunk",
         "big_cap",
+        "bbox_margin_px",
     ),
 )
 def bin_triangles(
@@ -141,6 +167,7 @@ def bin_triangles(
     face_material: jnp.ndarray | None = None,
     corner_channels: jnp.ndarray | None = None,
     big_cap: int | None = None,
+    bbox_margin_px: float = 0.0,
 ) -> BinnedTris:
     """Bin into the tile grid of the row band [y_offset, y_offset+rows) of a
     width×height viewport (full frame by default)."""
@@ -157,22 +184,30 @@ def bin_triangles(
         # generous default; ``overflowed`` flags scenes that need more.
         pairs_cap = max(num_t, 1 << 16)
 
+    # ``bbox_margin_px`` dilates every bbox (and the band cull) so the
+    # kernel's dilated edge test (soft-raster near-miss capture) sees every
+    # pixel within that distance of the triangle.
+    mg = float(bbox_margin_px)
     x = st.xy[..., 0]
     y = st.xy[..., 1]
-    tx0 = jnp.clip(jnp.floor(jnp.min(x, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
-    tx1 = jnp.clip(jnp.floor(jnp.max(x, -1) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    tx0 = jnp.clip(
+        jnp.floor((jnp.min(x, -1) - mg) / tile_w).astype(jnp.int32), 0, ntx - 1
+    )
+    tx1 = jnp.clip(
+        jnp.floor((jnp.max(x, -1) + mg) / tile_w).astype(jnp.int32), 0, ntx - 1
+    )
     ty0 = jnp.clip(
-        jnp.floor((jnp.min(y, -1) - y_off) / tile_h).astype(jnp.int32), 0, nty - 1
+        jnp.floor((jnp.min(y, -1) - mg - y_off) / tile_h).astype(jnp.int32), 0, nty - 1
     )
     ty1 = jnp.clip(
-        jnp.floor((jnp.max(y, -1) - y_off) / tile_h).astype(jnp.int32), 0, nty - 1
+        jnp.floor((jnp.max(y, -1) + mg - y_off) / tile_h).astype(jnp.int32), 0, nty - 1
     )
     # Cull triangles entirely outside the band (bbox test) on top of st.valid.
     on_screen = (
-        (jnp.max(x, -1) >= 0.0)
-        & (jnp.min(x, -1) < width)
-        & (jnp.max(y, -1) >= y_off)
-        & (jnp.min(y, -1) < y_off + rows)
+        (jnp.max(x, -1) >= -mg)
+        & (jnp.min(x, -1) < width + mg)
+        & (jnp.max(y, -1) >= y_off - mg)
+        & (jnp.min(y, -1) < y_off + rows + mg)
     )
     valid = st.valid & on_screen
 
@@ -194,9 +229,12 @@ def bin_triangles(
     #   * span > max_span, or big-block overflow → jumbo: ONE slot with
     #                  tile key −1, sorting to the front — a global run
     #                  every tile processes.
+    # Classes are disjoint for every max_span value: span≤2 triangles always
+    # take the exact 2-slot path (even when max_span < 2), so the jumbo
+    # threshold is effectively max(2, max_span).
     small2 = valid & (span <= 2)
     big = valid & (span > 2) & (span <= max_span)
-    jumbo = valid & (span > max_span)
+    jumbo = valid & (span > max(2, max_span))
 
     if big_cap is None:
         if num_t <= (1 << 16):
@@ -254,7 +292,25 @@ def bin_triangles(
         + jnp.sum(jnp.where(big & ~spilled, span, 0))
         + jnp.sum(jumbo_all.astype(jnp.int32))
     )
-    overflowed = total > pairs_cap  # diagnostics only
+    overflowed = total > pairs_cap
+    # Overflow is NOT silent: pairs past the cap are dropped (triangles go
+    # missing in some tiles), so warn loudly from inside the jitted program
+    # wherever the backend can host debug callbacks. Static shapes forbid
+    # regrowing here — callers raise ``pairs_cap`` (plumbed through
+    # render(raster_pairs_cap=...)).
+    if _backend_supports_callbacks():
+        jax.lax.cond(
+            overflowed,
+            lambda t: jax.debug.print(
+                "WARNING: raster binning overflow — {} (tile,tri) pairs > cap "
+                + str(pairs_cap)
+                + "; triangles will be MISSING. Raise pairs_cap "
+                "(render(..., raster_pairs_cap=N)).",
+                t,
+            ),
+            lambda t: None,
+            total,
+        )
 
     TRI_BITS = max(1, (num_t - 1).bit_length()) if num_t > 1 else 1
     if ntiles + 2 <= (1 << (31 - TRI_BITS)):
@@ -287,7 +343,9 @@ def bin_triangles(
 
     # Pre-gather packed fields per pair, field-major; pad by one chunk so the
     # kernel's fixed-size chunk DMA never reads out of bounds.
-    fields = pack_triangle_fields(st, face_material, corner_channels)  # (T, NF)
+    fields = pack_triangle_fields(
+        st, face_material, corner_channels, normalize_edges=bbox_margin_px > 0.0
+    )  # (T, NF)
     safe_tri = jnp.maximum(sorted_tri, 0)
     packed = fields[safe_tri].T  # (NUM_FIELDS, PAIRS)
     packed = jnp.pad(packed, ((0, 0), (0, chunk)))

@@ -31,6 +31,21 @@ from .raster import interpolate_corners, interpolate_packed, setup_corners, setu
 from .raster_bin import GBUF_FIELD0, NUM_FIELDS, bin_triangles
 
 CHUNK = 128  # triangles per DMA chunk (lane width)
+
+
+def _tile_zfloor(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w):
+    """(rows, W) z-floor → (ntiles, tile_h, tile_w) VMEM tile blocks
+    (padding = −inf: padded pixels accept everything, they are cropped)."""
+    zf = jnp.pad(
+        z_floor,
+        ((0, tiles_y * tile_h - rows), (0, tiles_x * tile_w - width)),
+        constant_values=-jnp.inf,
+    )
+    return (
+        zf.reshape(tiles_y, tile_h, tiles_x, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(tiles_y * tiles_x, tile_h, tile_w)
+    )
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,  # 1 bf16 MXU pass (~3 digits)
     "high": jax.lax.Precision.HIGH,  # 3 passes (~6 digits, near-f32)
@@ -45,21 +60,34 @@ def _raster_tile_kernel(
     # inputs (ANY/HBM)
     packed_ref,  # (NUM_FIELDS, PAIRS_pad) f32
     ids_ref,  # (1, PAIRS_pad) i32
-    # output (VMEM block per tile)
-    out_ref,  # (1, tile_h, tile_w) i32 — encoded tid*mat_stride+mat (−1 bg)
-    # scratch
-    fbuf,  # (2, NUM_FIELDS, CHUNK) f32 VMEM — double-buffered
-    ibuf,  # (2, 1, CHUNK) i32 VMEM
-    fsem,
-    isem,
-    best_z,  # (P, 1) f32 VMEM
-    best_id,  # (P, 1) i32 VMEM
-    *,
+    # then: [zfloor_ref] if has_zfloor — (1, tile_h, tile_w) f32 VMEM block
+    # outputs (VMEM block per tile):
+    #   out_ref (1, tile_h, tile_w) i32 — encoded tid*mat_stride+mat (−1 bg)
+    #   [out_z_ref] if want_depth — (1, tile_h, tile_w) f32 (+inf background)
+    # scratch:
+    #   fbuf (2, NUM_FIELDS, CHUNK) f32 (double-buffered), ibuf (2,1,CHUNK)
+    #   i32, fsem, isem, best_z (P,1) f32, best_id (P,1) i32
+    *rest,
     tile_h: int,
     tile_w: int,
     tiles_x: int,
     mat_stride: int,
+    has_zfloor: bool,
+    want_depth: bool,
+    margin: float,
 ):
+    k = 0
+    zfloor_ref = None
+    if has_zfloor:
+        zfloor_ref = rest[k]
+        k += 1
+    out_ref = rest[k]
+    k += 1
+    out_z_ref = None
+    if want_depth:
+        out_z_ref = rest[k]
+        k += 1
+    fbuf, ibuf, fsem, isem, best_z, best_id = rest[k : k + 6]
     p = tile_h * tile_w
     i = pl.program_id(0)
     ty = i // tiles_x
@@ -75,6 +103,7 @@ def _raster_tile_kernel(
 
     best_z[:] = jnp.full((p, 1), jnp.inf, jnp.float32)
     best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
+    zf = zfloor_ref[:].reshape(p, 1) if has_zfloor else None
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -125,12 +154,17 @@ def _raster_tile_kernel(
             e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
             e1 = dx * f[1:2, :] + dy * f[4:5, :] + f[7:8, :]
             e2 = dx * f[2:3, :] + dy * f[5:6, :] + f[8:9, :]
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            # margin > 0 dilates coverage by ``margin`` pixels (fields are
+            # packed with unit-gradient edges in that case); margin == 0
+            # compiles to the exact e ≥ 0 test.
+            inside = (e0 >= -margin) & (e1 >= -margin) & (e2 >= -margin)
             z = dx * f[11:12, :] + dy * f[12:13, :] + f[13:14, :]
 
             tid = ibuf[slot]  # (1, CHUNK)
             in_run = lane < (hi - base)  # mask the tail chunk
             ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
+            if has_zfloor:
+                ok &= z > zf  # depth peeling: strictly-behind-floor only
             zm = jnp.where(ok, z, jnp.inf)
 
             zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
@@ -170,6 +204,8 @@ def _raster_tile_kernel(
         process_range(s0, s1)  # this tile's run
 
     out_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
+    if want_depth:
+        out_z_ref[:] = best_z[:].reshape(1, tile_h, tile_w)
 
 
 def _raster_tile_gbuf_kernel(
@@ -179,24 +215,20 @@ def _raster_tile_gbuf_kernel(
     # inputs (ANY/HBM)
     packed_ref,  # (NF, PAIRS_pad) f32
     ids_ref,  # (1, PAIRS_pad) i32
-    # outputs (VMEM block per tile)
-    out_id_ref,  # (1, tile_h, tile_w) i32 — encoded tid*mat_stride+mat (−1 bg)
-    out_gb_ref,  # (1, P, C+1) f32 — perspective-correct attrs + linear depth
-    # scratch
-    fbuf,  # (2, NF, CHUNK) f32 VMEM — double-buffered
-    ibuf,  # (2, 1, CHUNK) i32 VMEM
-    fsem,
-    isem,
-    best_z,  # (P, 1) f32 VMEM
-    best_id,  # (P, 1) i32 VMEM
-    best_f,  # (P, NF) f32 VMEM — the winner's full field row
-    *,
+    # then: [zfloor_ref] if has_zfloor — (1, tile_h, tile_w) f32 VMEM block
+    # outputs (VMEM block per tile):
+    #   out_id_ref (1, tile_h, tile_w) i32 — tid*mat_stride+mat (−1 bg)
+    #   out_gb_ref (1, P, C+1) f32 — perspective-correct attrs + linear depth
+    # scratch: fbuf (2,NF,CHUNK) f32, ibuf (2,1,CHUNK) i32, fsem, isem,
+    #   best_z (P,1) f32, best_id (P,1) i32, best_f (P,NF) f32
+    *rest,
     tile_h: int,
     tile_w: int,
     tiles_x: int,
     mat_stride: int,
     num_ch: int,  # interpolation channels incl. the trailing 1/w
     mm_precision,
+    has_zfloor: bool,
 ):
     """Fused raster + G-buffer-interpolation kernel.
 
@@ -208,6 +240,14 @@ def _raster_tile_gbuf_kernel(
     gather latency per pixel. After the loop the attribute planes are
     evaluated per pixel as lane-wise FMAs and perspective-divided by the 1/w
     plane (identical algebra to ``raster.interpolate_packed``)."""
+    k = 0
+    zfloor_ref = None
+    if has_zfloor:
+        zfloor_ref = rest[k]
+        k += 1
+    out_id_ref, out_gb_ref = rest[k], rest[k + 1]
+    k += 2
+    fbuf, ibuf, fsem, isem, best_z, best_id, best_f = rest[k : k + 7]
     p = tile_h * tile_w
     i = pl.program_id(0)
     ty = i // tiles_x
@@ -223,6 +263,7 @@ def _raster_tile_gbuf_kernel(
     best_z[:] = jnp.full((p, 1), jnp.inf, jnp.float32)
     best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
     best_f[:] = jnp.zeros_like(best_f)
+    zf = zfloor_ref[:].reshape(p, 1) if has_zfloor else None
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -270,6 +311,8 @@ def _raster_tile_gbuf_kernel(
             tid = ibuf[slot]  # (1, CHUNK)
             in_run = lane < (hi - base)
             ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
+            if has_zfloor:
+                ok &= z > zf  # depth peeling: strictly-behind-floor only
             zm = jnp.where(ok, z, jnp.inf)
 
             zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
@@ -360,6 +403,8 @@ def _raster_tile_gbuf_kernel(
         "cull_backface",
         "num_materials",
         "interpret",
+        "return_depth",
+        "edge_margin_px",
     ),
 )
 def rasterize_binned(
@@ -380,6 +425,9 @@ def rasterize_binned(
     face_material: jnp.ndarray | None = None,
     num_materials: int = 0,
     interpret: bool = False,
+    z_floor: jnp.ndarray | None = None,
+    return_depth: bool = False,
+    edge_margin_px: float = 0.0,
 ):
     """Binned Pallas rasterization → (rows, width) i32 triangle ids.
 
@@ -393,7 +441,13 @@ def rasterize_binned(
 
     ``tris=None`` switches to corner-major input: ``verts_clip`` is (T,3,4)
     clip coordinates (see ``models.scene.CornerGeometry``) — the gather-free
-    hot path."""
+    hot path.
+
+    ``z_floor`` (rows, W): accept only fragments with z strictly greater —
+    the depth-peeling hook (same contract as ``raster.rasterize``).
+    ``return_depth=True`` additionally returns depth (+inf at background).
+    ``edge_margin_px`` dilates every triangle by that many pixels (soft-
+    raster near-miss capture; binning packs unit-gradient edges for it)."""
     if rows is None:
         rows = height
     y_offset = jnp.asarray(y_offset, jnp.int32)
@@ -426,6 +480,7 @@ def rasterize_binned(
         big_cap=big_cap,
         chunk=CHUNK,
         face_material=face_material if encode_material else None,
+        bbox_margin_px=edge_margin_px,
     )
 
     tiles_x = -(-width // tile_w)
@@ -433,16 +488,36 @@ def rasterize_binned(
     ntiles = tiles_y * tiles_x
     p = tile_h * tile_w
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [
+        binned.packed,
+        binned.pair_tri.reshape(1, -1),
+    ]
+    if z_floor is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(_tile_zfloor(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w))
+
+    tile_block = pl.BlockSpec(
+        (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [jax.ShapeDtypeStruct((ntiles, tile_h, tile_w), jnp.int32)]
+    out_specs = [tile_block]
+    if return_depth:
+        out_shape.append(jax.ShapeDtypeStruct((ntiles, tile_h, tile_w), jnp.float32))
+        out_specs.append(tile_block)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
             pltpu.VMEM((2, 1, CHUNK), jnp.int32),
@@ -459,24 +534,31 @@ def rasterize_binned(
         tile_w=tile_w,
         tiles_x=tiles_x,
         mat_stride=mat_stride if encode_material else 1,
+        has_zfloor=z_floor is not None,
+        want_depth=return_depth,
+        margin=float(edge_margin_px),
     )
-    tile_out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((ntiles, tile_h, tile_w), jnp.int32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         binned.starts,
         jnp.reshape(y_offset, (1,)),
-        binned.packed,
-        binned.pair_tri.reshape(1, -1),
+        *operands,
     )
+    tile_out = outs[0]
 
-    img = (
-        tile_out.reshape(tiles_y, tiles_x, tile_h, tile_w)
-        .transpose(0, 2, 1, 3)
-        .reshape(tiles_y * tile_h, tiles_x * tile_w)
-    )[:rows, :width]
+    def detile(t):
+        return (
+            t.reshape(tiles_y, tiles_x, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(tiles_y * tile_h, tiles_x * tile_w)
+        )[:rows, :width]
+
+    img = detile(tile_out)
+    depth = detile(outs[1]) if return_depth else None
     if want_material:
         if encode_material:
             bg = img < 0
@@ -485,8 +567,8 @@ def rasterize_binned(
         else:
             tri_id = img
             mat_id = face_material[jnp.maximum(img, 0)]
-        return tri_id, mat_id
-    return img
+        return (tri_id, mat_id, depth) if return_depth else (tri_id, mat_id)
+    return (img, depth) if return_depth else img
 
 
 @functools.partial(
@@ -526,6 +608,7 @@ def rasterize_binned_gbuffer(
     num_materials: int = 0,
     interpret: bool = False,
     mm_precision: str = "highest",
+    z_floor: jnp.ndarray | None = None,
 ):
     """Fused binned raster + G-buffer: one Pallas pass → per-pixel
     perspective-correct attributes, depth, triangle id (and material id).
@@ -591,13 +674,25 @@ def rasterize_binned_gbuffer(
     ntiles = tiles_y * tiles_x
     p = tile_h * tile_w
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [binned.packed, binned.pair_tri.reshape(1, -1)]
+    if z_floor is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(
+            _tile_zfloor(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w)
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -625,6 +720,7 @@ def rasterize_binned_gbuffer(
         mat_stride=mat_stride if encode_material else 1,
         num_ch=num_ch,
         mm_precision=_PRECISIONS[mm_precision],
+        has_zfloor=z_floor is not None,
     )
     tile_ids, tile_gb = pl.pallas_call(
         kernel,
@@ -637,8 +733,7 @@ def rasterize_binned_gbuffer(
     )(
         binned.starts,
         jnp.reshape(y_offset, (1,)),
-        binned.packed,
-        binned.pair_tri.reshape(1, -1),
+        *operands,
     )
 
     img = (
@@ -682,8 +777,10 @@ def raster_gbuffer(
     tile_w: int = 128,
     cull_backface: bool = True,
     num_materials: int = 0,
+    pairs_cap: int | None = None,
     interpret: bool = False,
     mm_precision: str = "highest",
+    z_floor: jnp.ndarray | None = None,
 ):
     """Differentiable fused raster + G-buffer (custom VJP).
 
@@ -697,7 +794,7 @@ def raster_gbuffer(
     Returns (attrs (rows,W,C), depth, tri_id, mat_id)."""
 
     @jax.custom_vjp
-    def fused(vc, pa, tris_, fm_, y_off_):
+    def fused(vc, pa, tris_, fm_, y_off_, zf_):
         return rasterize_binned_gbuffer(
             vc,
             tris_,
@@ -711,12 +808,14 @@ def raster_gbuffer(
             cull_backface=cull_backface,
             face_material=fm_,
             num_materials=num_materials,
+            pairs_cap=pairs_cap,
             interpret=interpret,
             mm_precision=mm_precision,
+            z_floor=zf_,
         )
 
-    def fused_fwd(vc, pa, tris_, fm_, y_off_):
-        out = fused(vc, pa, tris_, fm_, y_off_)
+    def fused_fwd(vc, pa, tris_, fm_, y_off_, zf_):
+        out = fused(vc, pa, tris_, fm_, y_off_, zf_)
         attrs, depth, tri_id, mat_id = out
         return out, (vc, pa, tris_, tri_id, y_off_)
 
@@ -753,10 +852,13 @@ def raster_gbuffer(
             else np.zeros(face_material.shape, dtype=f0)
         )
         g_yoff = np.zeros(jnp.shape(y_off_), dtype=f0)
-        return gvc, gpa, g_tris, g_fm, g_yoff
+        g_zf = (
+            None if z_floor is None else np.zeros(jnp.shape(z_floor), dtype=f0)
+        )
+        return gvc, gpa, g_tris, g_fm, g_yoff, g_zf
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused(
         verts_clip, packed_attrs, tris, face_material,
-        jnp.asarray(y_offset, jnp.int32),
+        jnp.asarray(y_offset, jnp.int32), z_floor,
     )

@@ -108,6 +108,7 @@ def peel_layers(
     y_offset: jnp.ndarray | int = 0,
     cull_backface: bool = True,
     edge_margin_px: float = 0.0,
+    backend: str = "auto",
     **raster_kwargs,
 ):
     """K depth-peeled (tri_id, depth) layers, nearest first.
@@ -115,25 +116,49 @@ def peel_layers(
     ids are (K, rows, W) int32 (−1 empty); depths (K, rows, W) (+inf empty).
     ``edge_margin_px`` dilates triangles so near-miss fragments are captured
     (set to ~3σ of the coverage sigmoid for continuous soft silhouettes).
-    """
+
+    ``backend``: "auto" (binned Pallas kernel on TPU, jnp tiled elsewhere),
+    "pallas", "pallas_interpret" or "jnp" — each peel pass rides the same
+    fast raster path as the hard renderer (z_floor + dilated edges are
+    first-class kernel features)."""
     if rows is None:
         rows = height
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
     ids, zs = [], []
     z_floor = jnp.full((rows, width), -jnp.inf, jnp.float32)
     for _ in range(num_layers):
-        tid, z = raster.rasterize(
-            verts_clip,
-            tris,
-            width=width,
-            height=height,
-            rows=rows,
-            y_offset=y_offset,
-            cull_backface=cull_backface,
-            z_floor=z_floor,
-            return_depth=True,
-            edge_margin_px=edge_margin_px,
-            **raster_kwargs,
-        )
+        if backend in ("pallas", "pallas_interpret"):
+            from .raster_pallas import rasterize_binned
+
+            tid, z = rasterize_binned(
+                verts_clip,
+                tris,
+                width=width,
+                height=height,
+                rows=rows,
+                y_offset=y_offset,
+                cull_backface=cull_backface,
+                z_floor=z_floor,
+                return_depth=True,
+                edge_margin_px=edge_margin_px,
+                interpret=(backend == "pallas_interpret"),
+                **raster_kwargs,
+            )
+        else:
+            tid, z = raster.rasterize(
+                verts_clip,
+                tris,
+                width=width,
+                height=height,
+                rows=rows,
+                y_offset=y_offset,
+                cull_backface=cull_backface,
+                z_floor=z_floor,
+                return_depth=True,
+                edge_margin_px=edge_margin_px,
+                **raster_kwargs,
+            )
         ids.append(tid)
         zs.append(z)
         z_floor = jnp.where(jnp.isfinite(z), z, z_floor)

@@ -69,12 +69,25 @@ def camera_ray_directions(
     return math3d.normalize(far_pt - near_pt)
 
 
+# Above this texel count the per-frame pair_equirect roll+concat (a full 2×
+# copy of the map) costs more than the two extra bilinear gathers it saves;
+# large sky maps sample through the plain 4-gather path instead.
+_PAIR_MAX_TEXELS = 1 << 21  # 2M texels ≈ a 2048×1024 map
+
+
 def sample_sky(env: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     """Radiance from the equirect env map along unit directions (..., 3).
 
-    Samples through the paired-row layout (2 gathers instead of 4 — the
-    pairing concat is a tiny per-frame copy, the gathers are per-pixel)."""
-    from .texture import pair_equirect, sample_equirect_paired
+    Small maps sample through the paired-row layout (2 gathers instead of 4 —
+    the pairing concat is a tiny per-frame copy, the gathers are per-pixel);
+    large maps (hi-res backgrounds) skip the pairing copy and take the plain
+    4-gather path, which is cheaper than duplicating the whole map in HBM
+    every frame."""
+    from .texture import pair_equirect, sample_equirect, sample_equirect_paired
 
     uv = world_to_sky_uv(directions)
-    return sample_equirect_paired(pair_equirect(env), uv)[..., :3]
+    if env.shape[-1] > 4:  # already paired (baked at scene build)
+        return sample_equirect_paired(env, uv)[..., :3]
+    if env.shape[0] * env.shape[1] <= _PAIR_MAX_TEXELS:
+        return sample_equirect_paired(pair_equirect(env), uv)[..., :3]
+    return sample_equirect(env, uv)[..., :3]

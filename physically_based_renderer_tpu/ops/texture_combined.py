@@ -158,7 +158,8 @@ def build_combined_packed(
 
 
 def _unpack_tap(w: jnp.ndarray) -> jnp.ndarray:
-    """(..., 4) uint32 → (..., 12) linear f32 (sRGB decode on color words)."""
+    """(..., 3) uint32 words → (..., 12) linear f32 (sRGB decode on color
+    words)."""
     from .texture import srgb_to_linear
 
     def lanes(word):
@@ -216,9 +217,12 @@ def sample_combined_packed(
         y0w, y1w = jnp.mod(y0, s), jnp.mod(y0 + 1, s)
     else:
         # Clamp mode: the paired row's right half is the WRAPPED neighbour,
-        # wrong at the clamped border; clamping x0 to s-2 keeps x1=x0+1
-        # in-range (edge-texel duplication at the border, one texel early).
+        # wrong at the clamped border, so clamp x0 to s-2 (keeping x1=x0+1
+        # in-range) and saturate fx to the edge it was clamped toward —
+        # exactly reproducing sample_combined's duplicate-edge-texel filter.
         x0w = jnp.clip(x0, 0, s - 2)
+        x0e = x0[..., None]
+        fx = jnp.where(x0e > s - 2, 1.0, jnp.where(x0e < 0, 0.0, fx))
         y0w, y1w = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
 
     flat = pad_gather_rows(words.reshape(-1, 8))

@@ -236,6 +236,7 @@ def shade_pixels(
         "apply_tonemap",
         "raster_backend",
         "gbuf_precision",
+        "raster_pairs_cap",
     ),
 )
 def render(
@@ -253,6 +254,7 @@ def render(
     apply_tonemap: bool = True,
     raster_backend: str = "auto",
     gbuf_precision: str = "highest",
+    raster_pairs_cap: int | None = None,
 ) -> jnp.ndarray:
     """Render the scene → (rows, W, 4) float32, display-encoded RGBA in [0,1].
 
@@ -281,98 +283,143 @@ def render(
     if backend == "auto":
         backend = "pallas_gbuf" if jax.default_backend() != "cpu" else "jnp"
 
-    pix_mat_k = None
     fused_gbuf = backend in ("pallas_gbuf", "pallas_gbuf_interpret")
-    if backend == "brute":
-        assert rows == height, "brute rasterizer renders full frames only"
-        tri_id = raster.rasterize_brute(
-            clip, None, width=width, height=height, cull_backface=cull_backface
-        )
-    elif fused_gbuf:
-        # Fused raster + G-buffer kernel: attrs come straight out of the
-        # raster pass (plane-evaluated in VMEM), no per-pixel XLA gather.
-        attrs, _depth, tri_id, pix_mat_k = raster_pallas.raster_gbuffer(
-            clip,
-            packed,
-            None,
-            geom.face_material,
-            width=width,
-            height=height,
-            rows=rows,
-            y_offset=y_offset,
-            tile_h=tile_h if tile_h is not None else 16,
-            tile_w=tile_w,
-            cull_backface=cull_backface,
-            num_materials=scene.materials.num_materials,
-            interpret=(backend == "pallas_gbuf_interpret"),
-            mm_precision=gbuf_precision,
-        )
-        mask = tri_id >= 0
-    elif backend in ("pallas", "pallas_interpret"):
-        tri_id, pix_mat_k = raster_pallas.rasterize_binned(
-            clip,
-            None,
-            width=width,
-            height=height,
-            rows=rows,
-            y_offset=y_offset,
-            tile_h=tile_h if tile_h is not None else 16,
-            tile_w=tile_w,
-            cull_backface=cull_backface,
-            face_material=geom.face_material,
-            num_materials=scene.materials.num_materials,
-            interpret=(backend == "pallas_interpret"),
-        )
-    elif backend == "jnp":
-        tri_id = raster.rasterize(
-            clip,
-            None,
-            width=width,
-            height=height,
-            rows=rows,
-            y_offset=y_offset,
-            tile_h=tile_h if tile_h is not None else 32,
-            tile_w=tile_w,
-            tri_block=tri_block,
-            cull_backface=cull_backface,
-        )
-    else:
-        raise ValueError(f"unknown raster_backend {raster_backend!r}")
 
-    if not fused_gbuf:
-        attrs, _depth, mask = raster.interpolate_corners(
-            packed, clip, tri_id, width=width, height=height, y_offset=y_offset
-        )
-    pos_w = attrs[..., 0:3]
-    normal_w = attrs[..., 3:6]
-    if textured:
-        tangent_w = attrs[..., 6:9]
-        bitangent_w = attrs[..., 9:12]
-        uv = attrs[..., 12:14]
-    else:
-        tangent_w = normal_w  # unused by the untextured shading path
-        bitangent_w = normal_w
-        uv = attrs[..., 0:2] * 0.0
-    if pix_mat_k is not None:
-        pix_mat = pix_mat_k  # resolved inside the raster kernel (free)
-    else:
-        pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
+    def raster_and_shade(z_floor):
+        """One raster+shade layer → (hdr, opacity, mask, depth, pix_mat).
+        ``z_floor`` (rows, W) or None — the depth-peeling hook the alpha-test
+        second pass uses. depth is +inf/garbage at background (masked)."""
+        pix_mat_k = None
+        depth = None
+        if backend == "brute":
+            assert rows == height, "brute rasterizer renders full frames only"
+            assert z_floor is None, "brute backend has no depth peeling"
+            tri_id = raster.rasterize_brute(
+                clip, None, width=width, height=height, cull_backface=cull_backface
+            )
+        elif fused_gbuf:
+            # Fused raster + G-buffer kernel: attrs come straight out of the
+            # raster pass (plane-evaluated in VMEM), no per-pixel XLA gather.
+            attrs, depth, tri_id, pix_mat_k = raster_pallas.raster_gbuffer(
+                clip,
+                packed,
+                None,
+                geom.face_material,
+                width=width,
+                height=height,
+                rows=rows,
+                y_offset=y_offset,
+                tile_h=tile_h if tile_h is not None else 16,
+                tile_w=tile_w,
+                cull_backface=cull_backface,
+                num_materials=scene.materials.num_materials,
+                pairs_cap=raster_pairs_cap,
+                interpret=(backend == "pallas_gbuf_interpret"),
+                mm_precision=gbuf_precision,
+                z_floor=z_floor,
+            )
+            mask = tri_id >= 0
+        elif backend in ("pallas", "pallas_interpret"):
+            out = raster_pallas.rasterize_binned(
+                clip,
+                None,
+                width=width,
+                height=height,
+                rows=rows,
+                y_offset=y_offset,
+                tile_h=tile_h if tile_h is not None else 16,
+                tile_w=tile_w,
+                cull_backface=cull_backface,
+                face_material=geom.face_material,
+                num_materials=scene.materials.num_materials,
+                pairs_cap=raster_pairs_cap,
+                interpret=(backend == "pallas_interpret"),
+                z_floor=z_floor,
+                return_depth=z_floor is not None or scene.materials.any_alpha_test,
+            )
+            if len(out) == 3:
+                tri_id, pix_mat_k, depth = out
+            else:
+                tri_id, pix_mat_k = out
+        elif backend == "jnp":
+            want_depth = z_floor is not None or scene.materials.any_alpha_test
+            out = raster.rasterize(
+                clip,
+                None,
+                width=width,
+                height=height,
+                rows=rows,
+                y_offset=y_offset,
+                tile_h=tile_h if tile_h is not None else 32,
+                tile_w=tile_w,
+                tri_block=tri_block,
+                cull_backface=cull_backface,
+                z_floor=z_floor,
+                return_depth=want_depth,
+            )
+            tri_id, depth = out if want_depth else (out, None)
+        else:
+            raise ValueError(f"unknown raster_backend {raster_backend!r}")
 
-    hdr, opacity = shade_pixels(
-        pos_w=pos_w,
-        normal_w=normal_w,
-        tangent_w=tangent_w,
-        bitangent_w=bitangent_w,
-        uv=uv,
-        material_id=pix_mat,
-        materials=scene.materials,
-        atlas=scene.atlas,
-        lights=scene.lights,
-        ambient=scene.ambient,
-        eye=camera.position,
-        ibl=scene.ibl,
-        combined=scene.combined_atlas,
-    )
+        if not fused_gbuf:
+            attrs, depth_i, mask = raster.interpolate_corners(
+                packed, clip, tri_id, width=width, height=height, y_offset=y_offset
+            )
+            if depth is None:
+                depth = depth_i
+        pos_w = attrs[..., 0:3]
+        normal_w = attrs[..., 3:6]
+        if textured:
+            tangent_w = attrs[..., 6:9]
+            bitangent_w = attrs[..., 9:12]
+            uv = attrs[..., 12:14]
+        else:
+            tangent_w = normal_w  # unused by the untextured shading path
+            bitangent_w = normal_w
+            uv = attrs[..., 0:2] * 0.0
+        if pix_mat_k is not None:
+            pix_mat = pix_mat_k  # resolved inside the raster kernel (free)
+        else:
+            pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
+
+        hdr, opacity = shade_pixels(
+            pos_w=pos_w,
+            normal_w=normal_w,
+            tangent_w=tangent_w,
+            bitangent_w=bitangent_w,
+            uv=uv,
+            material_id=pix_mat,
+            materials=scene.materials,
+            atlas=scene.atlas,
+            lights=scene.lights,
+            ambient=scene.ambient,
+            eye=camera.position,
+            ibl=scene.ibl,
+            combined=scene.combined_atlas,
+        )
+        return hdr, opacity, mask, depth, pix_mat
+
+    hdr, opacity, mask, depth, pix_mat = raster_and_shade(None)
+
+    # Alpha test (clip(opacity − 0.1), Default.hlsl:111-116): statically
+    # compiled in only when a material requests it. Fragments an alpha-tested
+    # material kills reveal the next-nearest fragment — resolved by one depth
+    # peel (the reference's depth buffer resolves all levels; one extra layer
+    # covers its actual content; use render_layered for deeper stacks).
+    if scene.materials.any_alpha_test and backend != "brute":
+        at1 = scene.materials.alpha_test[pix_mat] > 0.5
+        killed = mask & at1 & (opacity < 0.1)
+        zf = jnp.where(mask, depth, -jnp.inf)
+        hdr2, op2, mask2, _d2, pm2 = raster_and_shade(zf)
+        at2 = scene.materials.alpha_test[pm2] > 0.5
+        accept2 = mask2 & (~at2 | (op2 >= 0.1))
+        hdr = jnp.where(killed[..., None], hdr2, hdr)
+        opacity = jnp.where(killed, op2, opacity)
+        mask = jnp.where(killed, accept2, mask)
+    elif scene.materials.any_alpha_test:
+        # brute oracle: single layer — killed pixels fall through to the sky.
+        at1 = scene.materials.alpha_test[pix_mat] > 0.5
+        mask = mask & ~(at1 & (opacity < 0.1))
 
     if apply_tonemap:
         fg_rgb = tonemap_ops.tonemap(hdr)
@@ -382,10 +429,13 @@ def render(
     # Background: analytic skybox pass where nothing was rasterized
     # (equivalent to the reference's far-plane sky sphere, Skybox.hlsl), else
     # the 0.5-grey clear color (PBRApp.cpp:274) written raw to the backbuffer.
-    if scene.env_map is not None:
+    # The visible sky samples sky_map (the sIBL LDR background, the
+    # reference's g_SkyArray[0]) when present; IBL keeps the HDR env.
+    sky_src = scene.sky_map if scene.sky_map is not None else scene.env_map
+    if sky_src is not None:
         inv_vp = math3d.inverse(vp)
         dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
-        sky_rgb = sky_ops.sample_sky(scene.env_map, dirs)
+        sky_rgb = sky_ops.sample_sky(sky_src, dirs)
         bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
     else:
         bg_rgb = jnp.broadcast_to(scene.clear_color, (rows, width, 3))
@@ -527,10 +577,11 @@ def render_layered(
         z_floor = jnp.where(hit, z, z_floor)
 
     # --- background -------------------------------------------------------
-    if scene.env_map is not None:
+    sky_src = scene.sky_map if scene.sky_map is not None else scene.env_map
+    if sky_src is not None:
         inv_vp = math3d.inverse(vp)
         dirs = sky_ops.camera_ray_directions(inv_vp, width, height)
-        sky_rgb = sky_ops.sample_sky(scene.env_map, dirs)
+        sky_rgb = sky_ops.sample_sky(sky_src, dirs)
         bg = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
     else:
         bg = jnp.broadcast_to(scene.clear_color, (height, width, 3))
@@ -647,10 +698,11 @@ def render_soft(
         sdists.append(s)
         valids.append(m)
 
-    if scene.env_map is not None:
+    sky_src = scene.sky_map if scene.sky_map is not None else scene.env_map
+    if sky_src is not None:
         inv_vp = math3d.inverse(vp)
         dirs = sky_ops.camera_ray_directions(inv_vp, width, height)
-        sky_rgb = sky_ops.sample_sky(scene.env_map, dirs)
+        sky_rgb = sky_ops.sample_sky(sky_src, dirs)
         bg = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
     else:
         bg = jnp.broadcast_to(scene.clear_color, (height, width, 3))

@@ -109,6 +109,27 @@ class AssetCache:
         path = os.path.join(self.root, dirname, filename)
         return jnp.asarray(load_hdr(path))
 
+    def load_sky_background(self, name: str) -> jnp.ndarray | None:
+        """Visible-sky map: the sIBL set's LDR background (what the reference
+        samples for g_SkyArray[0], PBRApp.cpp:1199-1208), pre-paired at build
+        time (ops/texture.pair_equirect) when small enough so the skybox pass
+        pays zero per-frame copies. None if the set has no LDR background."""
+        from .models.sibl import find_ibl, parse_ibl
+        from .ops.sky import _PAIR_MAX_TEXELS
+        from .ops.texture import pair_equirect
+
+        dirname, _ = ENVIRONMENTS[name]
+        path = find_ibl(os.path.join(self.root, dirname))
+        if path is None:
+            return None
+        bg = parse_ibl(path).load_background()
+        if bg is None:
+            return None
+        sky = jnp.asarray(bg, jnp.float32)
+        if sky.shape[0] * sky.shape[1] <= _PAIR_MAX_TEXELS:
+            sky = pair_equirect(sky)
+        return sky
+
     def load_sibl(self, name: str):
         """Parse the environment's sIBL descriptor (.ibl): env/reflection
         files + multipliers, sun and artist-placed lights. See models/sibl."""
@@ -233,6 +254,7 @@ def pbr_scene(
 
     mesh = sphere_mesh(1.0, slices, stacks)
     env = assets.load_environment(environment) if environment else None
+    sky = assets.load_sky_background(environment) if environment else None
     return Scene(
         draws=(InstancedDraw.create(mesh, np.stack(worlds), mids),),
         materials=mb.build(),
@@ -240,6 +262,7 @@ def pbr_scene(
         lights=Lights.default_scene_lights(),
         ambient=jnp.asarray(AMBIENT, jnp.float32),
         env_map=env,
+        sky_map=sky,
     )
 
 
@@ -293,6 +316,7 @@ def obj_scene(
         lights=lights if lights is not None else Lights.default_scene_lights(),
         ambient=jnp.asarray(AMBIENT, jnp.float32),
         env_map=env,
+        sky_map=assets.load_sky_background(environment) if environment else None,
     )
 
 
@@ -331,4 +355,5 @@ def rustediron_sphere_scene(
         lights=Lights.default_scene_lights(),
         ambient=jnp.asarray(AMBIENT, jnp.float32),
         env_map=env,
+        sky_map=assets.load_sky_background(environment) if environment else None,
     )
