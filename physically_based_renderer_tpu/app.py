@@ -69,6 +69,7 @@ class RenderLoop:
         camera: Camera,
         config: RenderConfig | None = None,
         fps_lock: float | None = None,
+        check_capacity: bool = True,
     ):
         self.scene = scene
         self.camera = camera
@@ -76,6 +77,7 @@ class RenderLoop:
         self.fps_lock = fps_lock
         self.stats = FrameStats()
         self._last_time = time.perf_counter()
+        self._capacity_checked = not check_capacity
 
     def step(self, inp: FrameInput | None = None, dt: float | None = None) -> np.ndarray:
         """Advance one frame: apply input to the camera, render, return the
@@ -92,6 +94,36 @@ class RenderLoop:
             if inp.forward or inp.side:
                 cam = cam.move(inp.forward, inp.side, dt=dt)
             self.camera = cam
+
+        if not self._capacity_checked:
+            # Loud overflow guard (works where in-jit debug callbacks don't,
+            # i.e. the axon TPU tunnel): size the binning pair capacity from
+            # the first frame's real pair count, with headroom.
+            from .renderer import check_raster_capacity
+
+            stats = check_raster_capacity(
+                self.scene,
+                self.camera,
+                width=self.config.width,
+                height=self.config.height,
+                tile_h=self.config.tile_h,
+                tile_w=self.config.tile_w,
+                pairs_cap=self.config.raster_pairs_cap,
+            )
+            if stats["overflowed"]:
+                import logging
+
+                logging.getLogger("pbr_tpu").warning(
+                    "raster binning overflow: %d pairs > cap %d; raising "
+                    "raster_pairs_cap to %d",
+                    stats["num_pairs"],
+                    stats["pairs_cap"],
+                    stats["suggested_pairs_cap"],
+                )
+                self.config = dataclasses.replace(
+                    self.config, raster_pairs_cap=stats["suggested_pairs_cap"]
+                )
+            self._capacity_checked = True
 
         img = render(self.scene, self.camera, **self.config.render_kwargs())
         frame = np.asarray(img)

@@ -40,7 +40,10 @@ from .raster import ScreenTris, _edge_coeffs, setup_triangles
 # 6-8: c0,c1,c2   edge values at corner v0
 # 9,10: x0, y0    corner v0 pixel coords
 # 11-13: za,zb,zc depth plane: z(p) = za·dx + zb·dy + zc
-# 14: material id (as float; exact for ids < 2^24), 15: spare
+# 14: material id (as float; exact for ids < 2^24)
+# 15: constant 1.0 — rides the winner-extraction matmul as a duplicate-pair
+#     count, so the shade kernel normalizes instead of lane-tiebreaking
+#     (kills one (P,CHUNK) min-reduction per chunk)
 #
 # G-buffer variant (``corner_channels``): three extra blocks of CH fields
 # each are appended at 16 — the x/y/const plane coefficients of every
@@ -110,6 +113,7 @@ def pack_triangle_fields(
     zb = jnp.sum(zb_src * st.z, axis=-1) * inv_area
     zc = jnp.sum(zc_src * st.z, axis=-1) * inv_area
     zero = jnp.zeros_like(x0)
+    one = jnp.ones_like(x0)
     mat = zero if face_material is None else face_material.astype(jnp.float32)
     base = jnp.stack(
         [
@@ -118,7 +122,7 @@ def pack_triangle_fields(
             c0[:, 0], c0[:, 1], c0[:, 2],
             x0, y0,
             za, zb, zc,
-            mat, zero,
+            mat, one,
         ],
         axis=-1,
     )

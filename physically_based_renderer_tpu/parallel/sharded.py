@@ -149,8 +149,9 @@ def make_train_step(
 
 
 def shard_target(target: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
-    """Place a (H, W, C) target image row-sharded on the mesh."""
-    return jax.device_put(target, NamedSharding(mesh, P(ROWS_AXIS)))
+    """Place a (H, W, C) target image row-sharded on the mesh (over the
+    mesh's first axis — works for both the rows and tris meshes)."""
+    return jax.device_put(target, NamedSharding(mesh, P(mesh.axis_names[0])))
 
 
 # ---------------------------------------------------------------------------
@@ -190,14 +191,15 @@ def render_tri_sharded(
       * ``merge="allgather"`` — one all_gather + argmin over the device axis
         (simpler, N× memory).
 
-    Shading then runs row-sharded (each device shades its band of the merged
-    id map). Geometry/material data stays replicated this round; the
-    memory-sharded attribute-exchange variant is the planned extension.
+    Shading then runs row-sharded through :func:`renderer.shade_compose_band`
+    — the SAME deferred tail ``render`` uses (one implementation, no drift).
+    Geometry/material data stays replicated this round; the memory-sharded
+    attribute-exchange variant is the planned extension.
     """
-    from ..models.scene import flatten_scene
-    from ..renderer import shade_pixels
+    from ..models.scene import flatten_scene_corners
+    from ..renderer import shade_compose_band
     from .. import math3d
-    from ..ops import raster, sky as sky_ops, tonemap as tonemap_ops
+    from ..ops import raster
 
     n = mesh.shape[TRIS_AXIS]
     assert height % n == 0, f"height {height} must divide over {n} devices"
@@ -209,23 +211,24 @@ def render_tri_sharded(
     )
     def _render(scene_rep: Scene, cam_rep: Camera):
         i = jax.lax.axis_index(TRIS_AXIS)
-        geom = flatten_scene(scene_rep)
+        textured = scene_rep.atlas is not None
+        geom = flatten_scene_corners(scene_rep, textured=textured)
         vp = cam_rep.view_proj()
-        clip = math3d.transform_points_h(geom.pos_w, vp)
+        clip = math3d.transform_points_h(geom.pos_w, vp)  # (T, 3, 4)
 
-        # Triangle shard: static equal slices with a validity mask so the
-        # last shard's padding is inert.
-        num_t = geom.tris.shape[0]
+        # Triangle shard: static equal corner-major slices with a validity
+        # mask so the last shard's padding is inert (zero-area, culled).
+        num_t = geom.num_triangles
         shard = -(-num_t // n)
         start = i * shard
-        tris_pad = jnp.pad(geom.tris, ((0, shard * n - num_t), (0, 0)))
-        local_tris = jax.lax.dynamic_slice_in_dim(tris_pad, start, shard, axis=0)
+        clip_pad = jnp.pad(clip, ((0, shard * n - num_t), (0, 0), (0, 0)))
+        local_clip = jax.lax.dynamic_slice_in_dim(clip_pad, start, shard, axis=0)
         local_idx = start + jnp.arange(shard, dtype=jnp.int32)
         local_valid = local_idx < num_t
 
         tid_local, z_local = raster.rasterize(
-            clip,
-            local_tris,
+            local_clip,
+            None,  # corner-major
             width=width,
             height=height,
             tri_mask=local_valid,
@@ -251,42 +254,19 @@ def render_tri_sharded(
                 best_id = jnp.where(take, send_id, best_id)
             tid = best_id
 
-        # Row-band shading of the merged id map (data parallel over pixels).
+        # Row-band shading of the merged id map (data parallel over pixels),
+        # via render()'s own deferred tail.
         y0 = i * band
         tid_band = jax.lax.dynamic_slice_in_dim(tid, y0, band, axis=0)
-
-        packed = jnp.concatenate(
-            [geom.pos_w, geom.normal_w, geom.tangent_w, geom.bitangent_w, geom.uv],
-            axis=-1,
+        return shade_compose_band(
+            scene_rep,
+            cam_rep,
+            geom,
+            clip,
+            tid_band,
+            width=width,
+            height=height,
+            y_offset=y0,
         )
-        attrs, _, mask = raster.interpolate_packed(
-            packed, clip, geom.tris, tid_band, width=width, height=height, y_offset=y0
-        )
-        hdr, opacity = shade_pixels(
-            pos_w=attrs[..., 0:3],
-            normal_w=attrs[..., 3:6],
-            tangent_w=attrs[..., 6:9],
-            bitangent_w=attrs[..., 9:12],
-            uv=attrs[..., 12:14],
-            material_id=geom.face_material[jnp.maximum(tid_band, 0)],
-            materials=scene_rep.materials,
-            atlas=scene_rep.atlas,
-            lights=scene_rep.lights,
-            ambient=scene_rep.ambient,
-            eye=cam_rep.position,
-            ibl=scene_rep.ibl,
-            combined=scene_rep.combined_atlas,
-        )
-        rgb = tonemap_ops.tonemap(hdr)
-        if scene_rep.env_map is not None:
-            inv_vp = math3d.inverse(vp)
-            dirs = sky_ops.camera_ray_directions(inv_vp, width, height, band, y0)
-            bg = tonemap_ops.tonemap(sky_ops.sample_sky(scene_rep.env_map, dirs))
-        else:
-            bg = jnp.broadcast_to(scene_rep.clear_color, (band, width, 3))
-        m = mask[..., None].astype(jnp.float32)
-        out_rgb = m * rgb + (1.0 - m) * bg
-        alpha = m[..., 0] * opacity + (1.0 - m[..., 0])
-        return jnp.concatenate([out_rgb, alpha[..., None]], axis=-1)
 
     return _render(scene, camera)

@@ -42,7 +42,13 @@ from .models.material import (
     SLOT_ROUGHNESS,
     SLOT_SPECULAR,
 )
-from .models.scene import FlatGeometry, Scene, flatten_scene, flatten_scene_corners
+from .models.scene import (
+    CornerGeometry,
+    FlatGeometry,
+    Scene,
+    flatten_scene,
+    flatten_scene_corners,
+)
 from .ops import (
     raster,
     raster_pallas,
@@ -77,16 +83,21 @@ def shade_pixels(
     eye: jnp.ndarray,  # (3,)
     ibl: IBLMaps | None = None,
     combined: CombinedAtlas | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
     """The PS stage (``Default.hlsl:47-161``) over arbitrary pixel batch dims.
 
-    Returns (hdr_color (...,3), opacity (...,)). The reference's five shader
-    permutations (OPAQUE/ASRND/AMRN/TEXTURELESS/ALPHA_TEST,
-    ``PBRApp.cpp:713-774``) are realised as per-material presence masks so a
-    single kernel covers every layer — uniform control flow for the VPU.
+    Returns (hdr_color (...,3), opacity (...,), keep (...,) bool or None).
+    ``keep`` is the parallax UV clip (``Default.hlsl:65-68``): False where a
+    displacement-mapped material's offset uv exited [0,1] (the fragment is
+    discarded, like HLSL ``clip``); None when no displacement map is bound
+    (the test compiles out). The reference's five shader permutations
+    (OPAQUE/ASRND/AMRN/TEXTURELESS/ALPHA_TEST, ``PBRApp.cpp:713-774``) are
+    realised as per-material presence masks so a single kernel covers every
+    layer — uniform control flow for the VPU.
     """
     mid = material_id
     textured = combined is not None or atlas is not None
+    keep = None
 
     # Renormalize interpolated normal (Default.hlsl:50); tangent frame is used
     # raw, as the reference does.
@@ -149,6 +160,16 @@ def shade_pixels(
             h_scale = props[..., 9]
             uv_off = v_tan * (t_height * h_scale)[..., None]
             uv_t = uv_t - h_disp[..., None] * uv_off
+            # Parallax UV clip (Default.hlsl:65-68): the reference kills
+            # fragments whose displaced uv exits [0,1] (four clip() calls).
+            # Only displacement-mapped materials test it.
+            oob = (
+                (uv_t[..., 0] < 0.0)
+                | (uv_t[..., 1] < 0.0)
+                | (uv_t[..., 0] > 1.0)
+                | (uv_t[..., 1] > 1.0)
+            )
+            keep = ~((h_disp > 0.5) & oob)
 
         if combined is not None:
             # One 4-tap gather for every slot (see ops/texture_combined.py).
@@ -220,7 +241,7 @@ def shade_pixels(
     else:
         amb = ambient * albedo  # g_AmbientLight·albedo (Default.hlsl:150)
     lit = amb + direct
-    return lit, opacity
+    return lit, opacity, keep
 
 
 @functools.partial(
@@ -281,9 +302,83 @@ def render(
 
     backend = raster_backend
     if backend == "auto":
-        backend = "pallas_gbuf" if jax.default_backend() != "cpu" else "jnp"
+        if jax.default_backend() == "cpu":
+            backend = "jnp"
+        elif (
+            not textured
+            and scene.ibl is None
+            and not scene.materials.any_alpha_test
+        ):
+            # Analytic-material scenes take the fully-fused raster+shade
+            # kernel (no G-buffer HBM round trip, no XLA shade/tonemap tail).
+            backend = "pallas_shade"
+        else:
+            backend = "pallas_gbuf"
 
     fused_gbuf = backend in ("pallas_gbuf", "pallas_gbuf_interpret")
+    fused_shade = backend in ("pallas_shade", "pallas_shade_interpret")
+    if fused_shade:
+        assert not textured and scene.ibl is None, (
+            "pallas_shade fuses the untextured constant-material shader only"
+        )
+        assert not scene.materials.any_alpha_test, (
+            "pallas_shade has no depth-peel hook; use pallas_gbuf"
+        )
+        materials = scene.materials
+        mat_props = jnp.concatenate(
+            [
+                materials.diffuse,
+                materials.metallic[:, None],
+                materials.fresnel_r0,
+                materials.roughness[:, None],
+                materials.opacity[:, None],
+            ],
+            axis=-1,
+        )  # (M, 9)
+        lights = scene.lights
+        rgba_fg, tri_id, _pix_mat = raster_pallas.raster_shade(
+            clip,
+            packed,
+            geom.face_material,
+            mat_props,
+            lights.strength,
+            lights.direction,
+            lights.position,
+            lights.spot_power,
+            scene.ambient,
+            camera.position,
+            width=width,
+            height=height,
+            rows=rows,
+            y_offset=y_offset,
+            tile_h=tile_h if tile_h is not None else 4,
+            tile_w=tile_w,
+            cull_backface=cull_backface,
+            num_materials=materials.num_materials,
+            num_dir=lights.num_dir,
+            num_point=lights.num_point,
+            num_spot=lights.num_spot,
+            apply_tonemap=apply_tonemap,
+            pairs_cap=raster_pairs_cap,
+            interpret=(backend == "pallas_shade_interpret"),
+            mm_precision=gbuf_precision,
+        )
+        mask = tri_id >= 0
+        fg_rgb = rgba_fg[..., :3]
+        opacity = rgba_fg[..., 3]
+
+        sky_src = scene.sky_map if scene.sky_map is not None else scene.env_map
+        if sky_src is not None:
+            inv_vp = math3d.inverse(vp)
+            dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
+            sky_rgb = sky_ops.sample_sky(sky_src, dirs)
+            bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+        else:
+            bg_rgb = jnp.broadcast_to(scene.clear_color, (rows, width, 3))
+        m = mask[..., None].astype(jnp.float32)
+        rgb = m * fg_rgb + (1.0 - m) * bg_rgb
+        alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
+        return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
     def raster_and_shade(z_floor):
         """One raster+shade layer → (hdr, opacity, mask, depth, pix_mat).
@@ -382,7 +477,7 @@ def render(
         else:
             pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
 
-        hdr, opacity = shade_pixels(
+        hdr, opacity, keep = shade_pixels(
             pos_w=pos_w,
             normal_w=normal_w,
             tangent_w=tangent_w,
@@ -397,6 +492,10 @@ def render(
             ibl=scene.ibl,
             combined=scene.combined_atlas,
         )
+        if keep is not None:
+            # Parallax UV clip: discarded fragments fall through to the
+            # background (render_layered peels to the next surface instead).
+            mask = mask & keep
         return hdr, opacity, mask, depth, pix_mat
 
     hdr, opacity, mask, depth, pix_mat = raster_and_shade(None)
@@ -444,6 +543,157 @@ def render(
     rgb = m * fg_rgb + (1.0 - m) * bg_rgb
     alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def shade_compose_band(
+    scene: Scene,
+    camera: Camera,
+    geom: "CornerGeometry",
+    clip: jnp.ndarray,
+    tri_id: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    y_offset: jnp.ndarray | int = 0,
+    apply_tonemap: bool = True,
+) -> jnp.ndarray:
+    """Shade + sky + tonemap + compose a band given resolved triangle ids.
+
+    The deferred tail of :func:`render` as a standalone differentiable
+    function over corner-major geometry: interpolate the G-buffer for
+    ``tri_id`` (rows, W), run the PS stage, and composite over the sky /
+    clear color. Used by the triangle-sharded multi-chip path
+    (``parallel.sharded.render_tri_sharded``), whose raster+merge happens
+    across chips but whose shading is exactly this, band-local — one
+    implementation, no drift from ``render``.
+    """
+    rows = tri_id.shape[0]
+    textured = scene.atlas is not None
+    attrs, _depth, mask = raster.interpolate_corners(
+        geom.attrs, clip, tri_id, width=width, height=height, y_offset=y_offset
+    )
+    pos_w = attrs[..., 0:3]
+    normal_w = attrs[..., 3:6]
+    if textured:
+        tangent_w = attrs[..., 6:9]
+        bitangent_w = attrs[..., 9:12]
+        uv = attrs[..., 12:14]
+    else:
+        tangent_w = normal_w
+        bitangent_w = normal_w
+        uv = attrs[..., 0:2] * 0.0
+    pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
+    hdr, opacity, keep = shade_pixels(
+        pos_w=pos_w,
+        normal_w=normal_w,
+        tangent_w=tangent_w,
+        bitangent_w=bitangent_w,
+        uv=uv,
+        material_id=pix_mat,
+        materials=scene.materials,
+        atlas=scene.atlas,
+        lights=scene.lights,
+        ambient=scene.ambient,
+        eye=camera.position,
+        ibl=scene.ibl,
+        combined=scene.combined_atlas,
+    )
+    if keep is not None:
+        mask = mask & keep
+    fg_rgb = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
+
+    sky_src = scene.sky_map if scene.sky_map is not None else scene.env_map
+    if sky_src is not None:
+        inv_vp = math3d.inverse(camera.view_proj())
+        dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
+        sky_rgb = sky_ops.sample_sky(sky_src, dirs)
+        bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+    else:
+        bg_rgb = jnp.broadcast_to(scene.clear_color, (rows, width, 3))
+    m = mask[..., None].astype(jnp.float32)
+    rgb = m * fg_rgb + (1.0 - m) * bg_rgb
+    alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def check_raster_capacity(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    rows: int | None = None,
+    y_offset: int = 0,
+    tile_h: int | None = None,
+    tile_w: int = 128,
+    pairs_cap: int | None = None,
+    headroom: float = 1.25,
+) -> dict:
+    """Host-side binning-capacity check — the loud overflow path for
+    backends where in-jit ``jax.debug.print`` cannot run (the axon TPU
+    tunnel; see ``raster_bin._backend_supports_callbacks``).
+
+    Runs the same triangle binning the Pallas rasterizer uses and returns
+    host scalars: ``{"num_pairs", "pairs_cap", "overflowed",
+    "suggested_pairs_cap"}``. Call it once per (scene topology, resolution)
+    — e.g. on the first frame, as :class:`app.RenderLoop` does — and pass
+    ``suggested_pairs_cap`` back into ``render(raster_pairs_cap=...)`` if
+    ``overflowed``. ``suggested_pairs_cap`` includes ``headroom`` so nearby
+    camera poses stay in capacity."""
+    from .ops.raster import setup_corners
+    from .ops.raster_bin import bin_triangles
+
+    textured = scene.atlas is not None
+    geom = flatten_scene_corners(scene, textured=textured)
+    clip = math3d.transform_points_h(geom.pos_w, camera.view_proj())
+    st = setup_corners(clip, width, height, True, None)
+    max_span = 8
+    if tile_h is None:
+        # Mirror render()'s backend defaults: the fused shade kernel bins at
+        # 4-row tiles with max_span 16, the G-buffer kernel at 16/8.
+        fused_shade = (
+            not textured
+            and scene.ibl is None
+            and not scene.materials.any_alpha_test
+        )
+        tile_h = 4 if fused_shade else 16
+        max_span = 16 if fused_shade else 8
+    binned = bin_triangles(
+        st,
+        width=width,
+        height=height,
+        rows=rows,
+        y_offset=y_offset,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        max_span=max_span,
+        pairs_cap=pairs_cap,
+    )
+    num_pairs_total = int(binned.num_pairs) if not bool(binned.overflowed) else None
+    # num_pairs is clipped at the cap; recompute the true total for sizing.
+    cap = pairs_cap if pairs_cap is not None else max(geom.num_triangles, 1 << 16)
+    if num_pairs_total is None:
+        # Overflowed: re-bin with a cap high enough to count everything
+        # (slots are bounded by 2T + max_span·big_cap + T).
+        big = bin_triangles(
+            st,
+            width=width,
+            height=height,
+            rows=rows,
+            y_offset=y_offset,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            max_span=max_span,
+            pairs_cap=max(cap * 16, 1 << 22),
+        )
+        num_pairs_total = int(big.num_pairs)
+    suggested = -(-int(num_pairs_total * headroom) // 128) * 128
+    return {
+        "num_pairs": num_pairs_total,
+        "pairs_cap": cap,
+        "overflowed": bool(binned.overflowed),
+        "suggested_pairs_cap": max(suggested, 128),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "factor", "apply_tonemap"))
@@ -532,7 +782,7 @@ def render_layered(
             packed, clip, geom.tris, tri_id, width=width, height=height
         )
         pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
-        hdr, opacity = shade_pixels(
+        hdr, opacity, keep = shade_pixels(
             pos_w=attrs[..., 0:3],
             normal_w=attrs[..., 3:6],
             tangent_w=attrs[..., 6:9],
@@ -548,7 +798,9 @@ def render_layered(
             combined=scene.combined_atlas,
         )
         color = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
-        return color, opacity, pix_mat
+        if keep is None:
+            keep = jnp.ones(tri_id.shape, bool)
+        return color, opacity, pix_mat, keep
 
     # --- solid resolve (opaque + alpha-tested) via depth peeling ----------
     z_floor = jnp.full((height, width), -jnp.inf, jnp.float32)
@@ -565,11 +817,12 @@ def render_layered(
             z_floor=z_floor,
             return_depth=True,
         )
-        color, opacity, pix_mat = shade_at(tid)
+        color, opacity, pix_mat, keep = shade_at(tid)
         at_flag = scene.materials.alpha_test[pix_mat] > 0.5
         hit = tid >= 0
         # clip(opacity − 0.1) for alpha-tested materials (Default.hlsl:113)
-        accept = hit & (~at_flag | (opacity >= 0.1))
+        # and the parallax uv clip (Default.hlsl:65-68) both peel through.
+        accept = hit & (~at_flag | (opacity >= 0.1)) & keep
         take = accept & ~resolved
         solid_rgb = jnp.where(take[..., None], color, solid_rgb)
         solid_z = jnp.where(take, z, solid_z)
@@ -603,8 +856,8 @@ def render_layered(
                 z_floor=z_floor_t,
                 return_depth=True,
             )
-            color, opacity, _ = shade_at(tid)
-            visible = (tid >= 0) & (z < solid_z)  # depth test vs solids
+            color, opacity, _, keep = shade_at(tid)
+            visible = (tid >= 0) & (z < solid_z) & keep  # depth test vs solids
             a = jnp.where(visible, opacity, 0.0)[..., None]
             trans_acc = trans_acc + transmit * a * color
             transmit = transmit * (1.0 - a)
@@ -667,7 +920,7 @@ def render_soft(
             clip, geom.tris, tri_id, width=width, height=height, clamp=True
         )
         interp = lambda attr: raster.interpolate(attr, geom.tris, tri_id, bary_p)
-        hdr, _op = shade_pixels(
+        hdr, _op, keep = shade_pixels(
             pos_w=interp(geom.pos_w),
             normal_w=interp(geom.normal_w),
             tangent_w=interp(geom.tangent_w),
@@ -686,6 +939,8 @@ def render_soft(
         sd = raster_soft.signed_distance_px(
             clip, geom.tris, tri_id, width=width, height=height
         )
+        if keep is not None:
+            mask = mask & keep  # parallax uv clip discards the fragment
         # depth recomputed differentiably (zs from the raster pass is used
         # only for peeling structure)
         return color, depth, sd, mask

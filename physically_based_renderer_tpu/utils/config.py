@@ -33,6 +33,11 @@ class RenderConfig:
     raster_backend: str = "auto"
     tile_h: int | None = None
     tile_w: int = 128
+    # Binning pair capacity for the Pallas backends (None = T-sized default,
+    # raster_bin.bin_triangles). RenderLoop auto-sizes this on the first
+    # frame via renderer.check_raster_capacity (the overflow guard that
+    # works on backends without host callbacks).
+    raster_pairs_cap: int | None = None
 
     def render_kwargs(self) -> dict:
         return dict(
@@ -43,6 +48,7 @@ class RenderConfig:
             raster_backend=self.raster_backend,
             tile_h=self.tile_h,
             tile_w=self.tile_w,
+            raster_pairs_cap=self.raster_pairs_cap,
         )
 
 

@@ -1,0 +1,135 @@
+"""Fit the camera pose behind the reference's sample renders.
+
+The reference's only ground-truth images (``Samples/PBR.png`` and
+``Samples/rusted_iron_pbr.png``, ``README.md:5-7``) were captured from an
+interactively-flown camera (WASD+mouse, ``PBRApp.cpp:377-402``) whose pose
+was never recorded. This script recovers it by optimization: render the
+replicated scene at low resolution on the TPU, score against the (cropped)
+sample, and refine (coarse jitter search + finite-difference polish of
+position/yaw/pitch). The found poses are committed into
+``tests/test_reference_golden.py``; this script is the provenance.
+
+Run on the TPU host:  python scripts/fit_golden_pose.py [pbr|rust]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from physically_based_renderer_tpu import Camera, scenes
+from physically_based_renderer_tpu.renderer import render
+
+# Client-area crop of the screenshots: 1202×832 window = 1×31 border offset
+# around the 1200×800 backbuffer (d3dApp.h:126-127 default client size).
+CLIENT = (slice(31, 831), slice(1, 1201))
+
+FIT_W, FIT_H = 300, 200
+
+
+def load_target(path):
+    from PIL import Image
+
+    img = np.asarray(Image.open(path), np.float32)[..., :3] / 255.0
+    img = img[CLIENT]
+    assert img.shape == (800, 1200, 3), img.shape
+    # box-filter downsample to the fitting resolution
+    img = img.reshape(FIT_H, 800 // FIT_H, FIT_W, 1200 // FIT_W, 3).mean((1, 3))
+    return jnp.asarray(img)
+
+
+def make_loss(scene, target, fg_only=False):
+    @jax.jit
+    def loss(pos, yaw, pitch):
+        cam = Camera(
+            position=pos, yaw=yaw, pitch=pitch, aspect=1200.0 / 800.0
+        )
+        img = render(scene, cam, width=FIT_W, height=FIT_H)
+        if fg_only:
+            w = img[..., 3:4]  # fg where alpha==1 & mask — approximate
+            return jnp.sum(w * (img[..., :3] - target) ** 2) / jnp.maximum(
+                jnp.sum(w), 1.0
+            )
+        return jnp.mean((img[..., :3] - target) ** 2)
+
+    return loss
+
+
+def fit(loss, x0, iters=60, seed=0):
+    """Coarse random search around x0, then coordinate finite-diff descent."""
+    rng = np.random.default_rng(seed)
+    x0 = np.asarray(x0, np.float32)  # [px, py, pz, yaw, pitch]
+
+    def f(x):
+        return float(loss(jnp.asarray(x[:3]), jnp.float32(x[3]), jnp.float32(x[4])))
+
+    best, best_l = x0.copy(), f(x0)
+    print(f"init loss {best_l:.5f} at {best}")
+    scale = np.array([1.5, 1.0, 1.5, 0.25, 0.12], np.float32)
+    for it in range(iters):
+        cand = best + rng.normal(0, 1, 5).astype(np.float32) * scale
+        l = f(cand)
+        if l < best_l:
+            best, best_l = cand, l
+            print(f"  [{it}] {best_l:.5f} at {best}")
+        scale *= 0.96
+    # coordinate polish
+    for _ in range(8):
+        for d in range(5):
+            for step in (0.05, -0.05, 0.02, -0.02, 0.005, -0.005):
+                cand = best.copy()
+                cand[d] += step
+                l = f(cand)
+                if l < best_l:
+                    best, best_l = cand, l
+    print(f"final loss {best_l:.5f} at {best}")
+    return best, best_l
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "pbr"
+    assets = scenes.AssetCache()
+    if which == "pbr":
+        target = load_target("/root/reference/Samples/PBR.png")
+        scene = scenes.pbr_scene(assets=assets, environment="subway_lights")
+        scene = scene.with_combined_textures()
+        loss = make_loss(scene, target)
+        # Geometric estimate from apparent sphere radii (see round-3 notes):
+        # camera right of the grass sphere, between the sphere rows, yawed left.
+        x0 = [4.8, -1.3, -4.0, -0.6, 0.05]
+    else:
+        target = load_target("/root/reference/Samples/rusted_iron_pbr.png")
+        scene = scenes.rustediron_sphere_scene(assets=assets)
+        scene = scene.with_combined_textures()
+        loss = make_loss(scene, target, fg_only=True)
+        x0 = [0.0, 0.0, -2.4, 0.0, 0.0]
+    best, best_l = fit(loss, x0)
+
+    # Full-res render with the fitted pose → docs/
+    cam = Camera(
+        position=jnp.asarray(best[:3]),
+        yaw=jnp.float32(best[3]),
+        pitch=jnp.float32(best[4]),
+        aspect=1200.0 / 800.0,
+    )
+    img = np.asarray(render(scene, cam, width=1200, height=800))
+    from PIL import Image
+
+    os.makedirs("docs", exist_ok=True)
+    out = os.path.join("docs", f"golden_{which}.png")
+    Image.fromarray((np.clip(img[..., :3], 0, 1) * 255).astype(np.uint8)).save(out)
+    print("wrote", out)
+    print("pose:", list(map(float, best)), "loss:", best_l)
+
+
+if __name__ == "__main__":
+    main()

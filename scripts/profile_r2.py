@@ -114,7 +114,7 @@ def main():
     mat_id = jax.block_until_ready(mat_id)
 
     def shade_only(mats, a):
-        hdr, _ = shade_pixels(
+        hdr, _, _keep = shade_pixels(
             pos_w=a[..., 0:3], normal_w=a[..., 3:6], tangent_w=a[..., 3:6],
             bitangent_w=a[..., 3:6], uv=a[..., 0:2] * 0.0,
             material_id=mat_id, materials=mats, atlas=None,

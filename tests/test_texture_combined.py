@@ -116,6 +116,53 @@ def test_parallax_displacement():
     np.testing.assert_allclose(img0, img_plain, atol=1e-6)
 
 
+def test_parallax_uv_clip():
+    """Fragments whose displaced uv exits [0,1] are discarded — the four
+    clip() calls of Default.hlsl:65-68. A huge height scale pushes edge-pixel
+    uvs out of range; those pixels must fall through to the clear color."""
+    rng = np.random.default_rng(5)
+    from physically_based_renderer_tpu import InstancedDraw, MaterialBuilder, Scene, sphere_mesh
+    from physically_based_renderer_tpu.ops.brdf import Lights
+    from physically_based_renderer_tpu.ops.texture import build_atlas
+
+    size = 16
+    alb = rng.uniform(0.2, 1, (size, size, 3)).astype(np.float32)
+    height_map = np.full((size, size, 3), 1.0, np.float32)  # max height
+    atlas = build_atlas([alb, height_map], [False, False], size=size)
+
+    def scene_with(height_scale):
+        mb = MaterialBuilder()
+        mb.add(
+            "m",
+            textures={"diffuse": 0, "displacement": 1},
+            height_scale=height_scale,
+        )
+        return Scene(
+            draws=(InstancedDraw.create(sphere_mesh(1.0, 16, 8), np.eye(4, dtype=np.float32), [0]),),
+            materials=mb.build(),
+            atlas=atlas,
+            lights=Lights.default_scene_lights(),
+            ambient=jnp.asarray([0.03, 0.03, 0.03]),
+        )
+
+    cam = Camera.create(aspect=1.0)
+    clear = np.array([0.5, 0.5, 0.5])
+
+    def bg_count(img):
+        return int((np.abs(img[..., :3] - clear).max(-1) < 1e-6).sum())
+
+    img0 = np.asarray(render(scene_with(0.0), cam, width=64, height=64))
+    img_big = np.asarray(render(scene_with(5.0), cam, width=64, height=64))
+    # Uniform height 1.0 × scale 5 displaces every uv far outside [0,1]:
+    # the whole sphere is clipped away.
+    assert bg_count(img_big) > bg_count(img0) + 100, (
+        bg_count(img_big), bg_count(img0))
+    # Scale 0 clips nothing (uv unchanged, in [0,1] for the sphere mapping).
+    assert bg_count(img0) == bg_count(
+        np.asarray(render(scene_with(0.0), cam, width=64, height=64))
+    )
+
+
 def test_packed_combined_matches_f32_combined():
     """u8-packed pages reproduce the f32 combined sample within quantization
     tolerance (≤ ~2/255 per channel after the sRGB round trip)."""
