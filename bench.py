@@ -1,6 +1,13 @@
 """Benchmark: 1080p shaded pixels/s/chip, forward+backward (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
+
+The headline metric is the NORTH-STAR workload — mori_knob + Chelsea_Stairs
+IBL, textured, 1080p, forward+backward — when assets are present, falling
+back to the analytic sphere grid otherwise. ``configs`` carries every
+BASELINE config measured this run (pixels/s each), plus the single-chip
+sharded-vs-unsharded overhead ratio (the available scaling proxy on a
+1-chip host).
 
 Methodology: the whole timing loop runs ON DEVICE as one lax.scan program
 (K fwd+bwd steps with a carry-dependent input perturbation so XLA cannot
@@ -24,7 +31,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Persistent compile cache: the fwd+bwd program takes minutes to compile
+# Persistent compile cache: the fwd+bwd programs take minutes to compile
 # through the TPU tunnel; cached recompiles are ~free across runs.
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -35,14 +42,9 @@ WIDTH, HEIGHT = 1920, 1080
 ITERS = 10
 
 
-def main() -> None:
-    from physically_based_renderer_tpu import Camera, scenes
+def time_fwd_bwd(scene, camera, iters=ITERS):
+    """Pixels/s for one fwd+bwd step (gradients w.r.t. the material bank)."""
     from physically_based_renderer_tpu.renderer import render
-
-    # Flagship workload: the 58-sphere PBR scene geometry (~195k tris) with
-    # analytic materials (texture assets may not be present on the bench host).
-    scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
-    camera = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
 
     def loss_fn(materials, cam):
         s = dataclasses.replace(scene, materials=materials)
@@ -60,7 +62,7 @@ def main() -> None:
             g = grad_fn(materials, cam2)
             return carry + g.roughness[0] * 0.0 + 1e-12, None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return acc
 
     acc = bench_loop(scene.materials, camera)  # compile + warm
@@ -68,16 +70,127 @@ def main() -> None:
     t0 = time.perf_counter()
     acc = bench_loop(scene.materials, camera)
     float(acc)  # host roundtrip = full sync
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / iters
+    return WIDTH * HEIGHT / dt
 
-    pixels_per_s = WIDTH * HEIGHT / dt
+
+def time_sharded_overhead(scene, camera, iters=ITERS):
+    """Single-chip shard_map render vs plain render — the forward-path
+    sharding overhead ratio (≤1.0 is free; the available scaling proxy
+    without a multi-chip host)."""
+    from physically_based_renderer_tpu.parallel import sharded
+    from physically_based_renderer_tpu.renderer import render
+
+    mesh = sharded.make_render_mesh(jax.devices()[:1])
+
+    def plain(cam):
+        return render(scene, cam, width=WIDTH, height=HEIGHT)[..., 0].sum()
+
+    def shmap(cam):
+        return sharded.render_sharded(
+            scene, cam, mesh=mesh, width=WIDTH, height=HEIGHT
+        )[..., 0].sum()
+
+    def loop(fn):
+        @jax.jit
+        def run(cam):
+            def body(carry, _):
+                cam2 = dataclasses.replace(cam, position=cam.position + carry * 0.0)
+                return carry + fn(cam2) * 0.0 + 1e-12, None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return acc
+
+        float(run(camera))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(camera))
+        return (time.perf_counter() - t0) / iters
+
+    return loop(shmap) / loop(plain)
+
+
+def main() -> None:
+    from physically_based_renderer_tpu import Camera, scenes
+
+    results: dict[str, object] = {}
+
+    # Config 2 (BASELINE): the 195k-triangle analytic sphere grid.
+    grid_scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
+    grid_cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
+    results["sphere_grid_analytic"] = round(time_fwd_bwd(grid_scene, grid_cam), 1)
+
+    # Scaling proxy: single-chip shard_map overhead on the same workload.
+    try:
+        results["sharded_overhead_1chip"] = round(
+            time_sharded_overhead(grid_scene, grid_cam), 4
+        )
+    except Exception as e:  # pragma: no cover — never fail the bench
+        results["sharded_overhead_1chip"] = f"error: {type(e).__name__}"
+
+    # Configs 3-5 need the reference asset tree; degrade gracefully.
+    assets = None
+    try:
+        assets = scenes.AssetCache()
+        have_assets = assets.root is not None
+    except Exception:
+        have_assets = False
+
+    northstar = None
+    if have_assets:
+        # Config 3: the full textured PBR scene (9 textured + 49 analytic
+        # spheres), differentiable f32 combined texture pages.
+        try:
+            pbr = scenes.pbr_scene(assets=assets).with_combined_textures()
+            cam = Camera.create(
+                position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT
+            )
+            results["pbr_textured_f32"] = round(time_fwd_bwd(pbr, cam), 1)
+        except Exception as e:
+            results["pbr_textured_f32"] = f"error: {type(e).__name__}"
+
+        # Same scene through the f16-pair-packed differentiable pages
+        # (texture_combined.HalfCombinedAtlas) — the fast texel-grad path.
+        try:
+            pbr_h = scenes.pbr_scene(assets=assets).with_combined_textures(
+                mode="half"
+            )
+            cam = Camera.create(
+                position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT
+            )
+            results["pbr_textured_half"] = round(time_fwd_bwd(pbr_h, cam), 1)
+        except Exception as e:
+            results["pbr_textured_half"] = f"error: {type(e).__name__}"
+
+        # Config 4+5 (north star): mori_knob + Chelsea_Stairs IBL, textured.
+        try:
+            # mori_knob's MTL binds no texture maps (5 scalar materials) —
+            # IBL is the load-bearing extension here.
+            knob = scenes.mori_knob_scene(
+                assets=assets, environment="chelsea_stairs"
+            ).with_ibl()
+            cam = Camera.create(
+                position=(0.0, 0.8, -2.2), pitch=0.02, aspect=WIDTH / HEIGHT
+            )
+            northstar = time_fwd_bwd(knob, cam)
+            results["mori_knob_ibl"] = round(northstar, 1)
+        except Exception as e:
+            results["mori_knob_ibl"] = f"error: {type(e).__name__}"
+
+    if northstar is not None:
+        metric = "1080p mori_knob+IBL textured pixels/s/chip (fwd+bwd)"
+        value = northstar
+    else:
+        metric = "1080p shaded pixels/s/chip (fwd+bwd, analytic grid)"
+        value = results["sphere_grid_analytic"]
+
     print(
         json.dumps(
             {
-                "metric": "1080p shaded pixels/s/chip (fwd+bwd)",
-                "value": round(pixels_per_s, 1),
+                "metric": metric,
+                "value": round(float(value), 1),
                 "unit": "pixels/s",
-                "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+                "vs_baseline": round(float(value) / BASELINE_PIXELS_PER_S, 4),
+                "configs": results,
             }
         )
     )

@@ -90,16 +90,32 @@ class Scene:
         assert self.env_map is not None, "scene has no environment map"
         return dataclasses.replace(self, ibl=IBLMaps.build(self.env_map))
 
-    def with_combined_textures(self, packed: bool = False) -> "Scene":
+    def with_combined_textures(
+        self, packed: bool = False, mode: str | None = None
+    ) -> "Scene":
         """Bake per-material combined texture pages (one-gather sampling).
 
-        ``packed=True`` quantizes to the u8/uint32-packed representation —
-        ~4× faster sampling at 1080p and RGBA8-texture-unit parity with the
-        reference, but not differentiable w.r.t. texels."""
+        ``mode`` (overrides the legacy ``packed`` flag):
+          * ``"f32"``   — full-precision pages, differentiable (default);
+          * ``"half"``  — f16-pair-packed pages: ~2.7× fewer fetched
+            elements, still differentiable w.r.t. texels (f32 recompute
+            backward; see ``texture_combined.HalfCombinedAtlas``);
+          * ``"packed"`` — u8/uint32 pages: fastest, RGBA8 parity with the
+            reference's texture units, NOT differentiable w.r.t. texels."""
         assert self.atlas is not None, "scene has no texture atlas"
-        from ..ops.texture_combined import build_combined, build_combined_packed
+        from ..ops.texture_combined import (
+            build_combined,
+            build_combined_half,
+            build_combined_packed,
+        )
 
-        build = build_combined_packed if packed else build_combined
+        if mode is None:
+            mode = "packed" if packed else "f32"
+        build = {
+            "f32": build_combined,
+            "half": build_combined_half,
+            "packed": build_combined_packed,
+        }[mode]
         return dataclasses.replace(
             self, combined_atlas=build(self.materials, self.atlas)
         )

@@ -41,9 +41,8 @@ from .raster import ScreenTris, _edge_coeffs, setup_triangles
 # 9,10: x0, y0    corner v0 pixel coords
 # 11-13: za,zb,zc depth plane: z(p) = za·dx + zb·dy + zc
 # 14: material id (as float; exact for ids < 2^24)
-# 15: constant 1.0 — rides the winner-extraction matmul as a duplicate-pair
-#     count, so the shade kernel normalizes instead of lane-tiebreaking
-#     (kills one (P,CHUNK) min-reduction per chunk)
+# 15: constant 1.0 (spare; rides the winner-extraction matmul unchanged, so
+#     it doubles as a duplicate-pair count if ever needed)
 #
 # G-buffer variant (``corner_channels``): three extra blocks of CH fields
 # each are appended at 16 — the x/y/const plane coefficients of every

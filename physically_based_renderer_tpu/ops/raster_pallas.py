@@ -903,35 +903,25 @@ def _raster_tile_shade_kernel(
                 axis=1,
                 keepdims=True,
             )
-            # Winner mask WITHOUT a lane tiebreak: only duplicate pairs of
-            # the same triangle (identical field rows, from the chunk-aligned
-            # prefix) can set >1 lane; the constant-1 field (raster_bin field
-            # 15) rides the extraction matmul as their count, and dividing by
-            # it (a power of two: 1 or 2) reconstructs the row exactly.
-            onehot = ((zm <= zmin) & (code == win_id)).astype(jnp.bfloat16)
-            # Exact f32 extraction in 3 bf16 MXU passes: the one-hot operand
-            # is exact in bf16, so only ``f`` needs the hi/mid/lo split —
-            # half the passes of Precision.HIGHEST (which splits both sides).
-            # mm_precision "default" keeps the single-pass bf16 variant.
-            if mm_precision == jax.lax.Precision.DEFAULT:
-                parts = [f.astype(jnp.bfloat16)]
-            else:
-                fh = f.astype(jnp.bfloat16)
-                r1 = f - fh.astype(jnp.float32)
-                fm = r1.astype(jnp.bfloat16)
-                fl = (r1 - fm.astype(jnp.float32)).astype(jnp.bfloat16)
-                parts = [fh, fm, fl]
-            cand = None
-            for part in parts:
-                term = jax.lax.dot_general(
-                    onehot,
-                    part,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (P, NF)
-                cand = term if cand is None else cand + term
-            cnt = cand[:, 15:16]  # duplicate count (field 15 ≡ 1.0)
-            cand = cand / jnp.maximum(cnt, 1.0)
+            # Exactly ONE winning lane (duplicate pairs of one triangle are
+            # broken by smallest lane index, same as the G-buffer kernel).
+            # Measured alternatives that LOST on v5e: dropping this reduce in
+            # favor of a constant-1-field duplicate count (+0.6 ms) and a
+            # manual 3-pass bf16-split matmul replacing HIGHEST (+2.9 ms).
+            is_win = (zm <= zmin) & (code == win_id)
+            win_lane = jnp.min(
+                jnp.where(is_win, lane, jnp.int32(0x7FFFFFFF)),
+                axis=1,
+                keepdims=True,
+            )
+            onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
+            cand = jax.lax.dot_general(
+                onehot,
+                f,
+                (((1,), (1,)), ((), ())),
+                precision=mm_precision,
+                preferred_element_type=jnp.float32,
+            )  # (P, NF)
 
             better = zmin < best_z[:]
             best_z[:] = jnp.where(better, zmin, best_z[:])

@@ -36,7 +36,7 @@ BIG_Z = 1.0  # background depth (far plane)
 
 def signed_distance_px(
     verts_clip: jnp.ndarray,
-    tris: jnp.ndarray,
+    tris: jnp.ndarray | None,
     tri_id: jnp.ndarray,
     *,
     width: int,
@@ -45,10 +45,23 @@ def signed_distance_px(
 ) -> jnp.ndarray:
     """Signed pixel distance from each pixel center to its winning triangle's
     boundary (positive inside), (H, W). Differentiable w.r.t. verts_clip;
-    the min-edge choice subgradient is standard."""
-    xy_all, _, _ = raster.project_to_screen(verts_clip, width, height)
-    corner = tris[jnp.maximum(tri_id, 0)]  # (H,W,3)
-    xy = xy_all[corner]  # (H,W,3,2)
+    the min-edge choice subgradient is standard.
+
+    ``tris=None`` → corner-major ``verts_clip`` (T,3,4): the per-pixel fetch
+    is ONE 8-lane-padded row gather instead of three vertex gathers (the
+    same layout win as ``raster.interpolate_corners``)."""
+    if tris is None:
+        xy_c, _, _ = raster.project_corners(verts_clip, width, height)  # (T,3,2)
+        table = xy_c.reshape(-1, 6)
+        table = jnp.pad(table, ((0, 0), (0, 2)))  # 8-lane-aligned rows
+        from .texture import pad_gather_rows
+
+        table = pad_gather_rows(table)
+        xy = table[jnp.maximum(tri_id, 0)][..., :6].reshape(*tri_id.shape, 3, 2)
+    else:
+        xy_all, _, _ = raster.project_to_screen(verts_clip, width, height)
+        corner = tris[jnp.maximum(tri_id, 0)]  # (H,W,3)
+        xy = xy_all[corner]  # (H,W,3,2)
 
     py = (
         jnp.asarray(y_offset, jnp.float32)

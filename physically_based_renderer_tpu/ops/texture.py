@@ -206,6 +206,100 @@ def sample_bilinear(
     return (top * (1.0 - fy) + bot * fy).astype(jnp.float32)
 
 
+def screen_space_lod(uv: jnp.ndarray, tex_size: int) -> jnp.ndarray:
+    """Mip level from screen-space uv derivatives, (rows, W[, …], 2) → (rows, W).
+
+    The analytic analog of the HW sampler's implicit ddx/ddy LOD
+    (``Default.hlsl:80`` samples anisotropic — which the reference then
+    defeats by loading 1-mip textures, ``WICTextureLoader.h:78``; we beat it
+    by actually using the pyramid). Forward differences with edge
+    replication; lod = log2 of the max texel-footprint axis, the standard
+    isotropic D3D formula. Neighbouring-triangle pixels produce conservative
+    (blurrier) estimates at silhouettes, same as HW quad derivatives."""
+    ddx = jnp.diff(uv, axis=-2)
+    ddx = jnp.concatenate([ddx, ddx[..., -1:, :]], axis=-2)
+    ddy = jnp.diff(uv, axis=-3)
+    ddy = jnp.concatenate([ddy, ddy[..., -1:, :, :]], axis=-3)
+    r2 = jnp.maximum(
+        jnp.sum(ddx * ddx, axis=-1), jnp.sum(ddy * ddy, axis=-1)
+    ) * float(tex_size) ** 2
+    return jnp.maximum(0.5 * jnp.log2(jnp.maximum(r2, 1e-12)), 0.0)
+
+
+def stack_mips(mips: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Concatenate a (N, S>>l, S>>l, C) mip pyramid into ONE flat (R, C)
+    gather table (level-major). Per-pixel level offsets are then pure
+    arithmetic — see :func:`_stacked_level_offset` — so a trilinear sample
+    is 2 bilinear taps from one table instead of a masked sum over every
+    level (which costs num_levels× the gathers)."""
+    return pad_gather_rows(
+        jnp.concatenate([m.reshape(-1, m.shape[-1]) for m in mips], axis=0)
+    )
+
+
+def _stacked_level_offset(n: int, s: int, sl: jnp.ndarray) -> jnp.ndarray:
+    """Row offset of mip level with size ``sl`` in a :func:`stack_mips`
+    table: Σ_{k<l} N·(S>>k)² = N·(4·S² − 4·sl²)/3 (exact in int32 — the
+    difference of powers of 4 is divisible by 3)."""
+    return (4 * n * (s * s - sl * sl)) // 3
+
+
+def _sample_stacked_level(
+    flat: jnp.ndarray,
+    n: int,
+    s: int,
+    level: jnp.ndarray,  # (...,) int32 per-pixel mip level
+    page: jnp.ndarray,
+    uv: jnp.ndarray,
+    wrap: bool,
+) -> jnp.ndarray:
+    """Bilinear tap at a PER-PIXEL integer mip level of a stacked pyramid."""
+    sl = jnp.right_shift(s, level)  # (…,) per-pixel level size
+    base = _stacked_level_offset(n, s, sl) + page * (sl * sl)
+    x = uv[..., 0] * sl - 0.5
+    y = uv[..., 1] * sl - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    if wrap:
+        x0w, x1w = jnp.mod(x0, sl), jnp.mod(x0 + 1, sl)
+        y0w, y1w = jnp.mod(y0, sl), jnp.mod(y0 + 1, sl)
+    else:
+        x0w, x1w = jnp.clip(x0, 0, sl - 1), jnp.clip(x0 + 1, 0, sl - 1)
+        y0w, y1w = jnp.clip(y0, 0, sl - 1), jnp.clip(y0 + 1, 0, sl - 1)
+    t00 = flat[base + y0w * sl + x0w]
+    t01 = flat[base + y0w * sl + x1w]
+    t10 = flat[base + y1w * sl + x0w]
+    t11 = flat[base + y1w * sl + x1w]
+    top = t00 * (1.0 - fx) + t01 * fx
+    bot = t10 * (1.0 - fx) + t11 * fx
+    return (top * (1.0 - fy) + bot * fy).astype(jnp.float32)
+
+
+def sample_stacked_trilinear(
+    flat: jnp.ndarray,
+    n: int,
+    s: int,
+    num_levels: int,
+    page: jnp.ndarray,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,
+    wrap: bool = True,
+) -> jnp.ndarray:
+    """Trilinear sample from a stacked pyramid: 2 per-pixel-level bilinear
+    taps (8 gathers total, independent of level count)."""
+    lod = jnp.clip(lod, 0.0, num_levels - 1.0)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    l0i = l0.astype(jnp.int32)
+    l1i = jnp.minimum(l0i + 1, num_levels - 1)
+    t0 = _sample_stacked_level(flat, n, s, l0i, page, uv, wrap)
+    t1 = _sample_stacked_level(flat, n, s, l1i, page, uv, wrap)
+    return t0 * (1.0 - frac) + t1 * frac
+
+
 def sample_atlas(
     atlas: TextureAtlas,
     page: jnp.ndarray,
@@ -214,28 +308,14 @@ def sample_atlas(
     wrap: bool = True,
 ) -> jnp.ndarray:
     """Sample the atlas. lod=None → bilinear mip 0 (the reference's effective
-    behaviour); otherwise trilinear between floor(lod) and floor(lod)+1,
-    evaluated per level and blended (static level count → jit-friendly)."""
+    behaviour, its textures load with 1 mip); otherwise trilinear between
+    floor(lod) and floor(lod)+1 via the stacked-pyramid path."""
     if lod is None or atlas.num_levels == 1:
         return sample_bilinear(atlas.mips[0], page, uv, wrap)
-
-    nl = atlas.num_levels
-    lod = jnp.clip(lod, 0.0, nl - 1.0)
-    l0 = jnp.floor(lod)
-    frac = (lod - l0)[..., None]
-
-    # Evaluate the two bracketing levels by masking a static sum over levels.
-    out0 = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
-    out1 = jnp.zeros_like(out0)
-    for li in range(nl):
-        sel0 = (l0 == li).astype(jnp.float32)[..., None]
-        sel1 = (jnp.clip(l0 + 1, 0, nl - 1) == li).astype(jnp.float32)[..., None]
-        needed = bool(li < nl)
-        if needed:
-            smp = sample_bilinear(atlas.mips[li], page, uv, wrap)
-            out0 = out0 + sel0 * smp
-            out1 = out1 + sel1 * smp
-    return out0 * (1.0 - frac) + out1 * frac
+    flat = stack_mips(atlas.mips)
+    return sample_stacked_trilinear(
+        flat, atlas.num_pages, atlas.size, atlas.num_levels, page, uv, lod, wrap
+    )
 
 
 def pair_equirect(m: jnp.ndarray) -> jnp.ndarray:

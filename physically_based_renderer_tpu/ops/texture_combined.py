@@ -48,18 +48,33 @@ NUM_COMBINED = 16
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CombinedAtlas:
-    """(P, S, S, NUM_COMBINED) pages + per-material page index."""
+    """(P, S, S, NUM_COMBINED) pages + per-material page index.
+
+    ``mips``: optional combined-page mip pyramid (level 0 == ``pages``),
+    baked by :func:`build_combined` with ``num_levels > 1`` — the screen-
+    space-LOD sampling path (``render(mip_lod=True)``) needs it."""
 
     pages: jnp.ndarray  # (P, S, S, 16)
     material_page: jnp.ndarray  # (M,) i32 — 0 for analytic materials
+    mips: tuple | None = None  # tuple[(P, S>>l, S>>l, 16)] incl. level 0
 
     @property
     def size(self) -> int:
         return self.pages.shape[1]
 
+    @property
+    def num_levels(self) -> int:
+        return 1 if self.mips is None else len(self.mips)
 
-def build_combined(materials: MaterialBank, atlas: TextureAtlas) -> CombinedAtlas:
-    """Bake the combined pages (differentiable in the slot atlas texels)."""
+
+def build_combined(
+    materials: MaterialBank, atlas: TextureAtlas, num_levels: int | None = None
+) -> CombinedAtlas:
+    """Bake the combined pages (differentiable in the slot atlas texels).
+
+    ``num_levels``: build that many combined mip levels (None → full chain
+    if the source atlas has one, else 1). Mips are 2×2 box reductions of the
+    combined level 0 — still a pure jnp function of the slot texels."""
     m = materials
     num_m = m.num_materials
     base = atlas.mips[0]  # (N, S, S, 4)
@@ -92,7 +107,21 @@ def build_combined(materials: MaterialBank, atlas: TextureAtlas) -> CombinedAtla
         return jnp.concatenate([albedo, spec, metal, rough, normal, opac, pad], axis=-1)
 
     pages = jnp.stack([page_for(int(r)) for r in (textured_rows if len(textured_rows) else [0])])
-    return CombinedAtlas(pages=pages, material_page=jnp.asarray(material_page))
+    if num_levels is None:
+        num_levels = atlas.num_levels
+    mips = None
+    if num_levels > 1:
+        levels = [pages]
+        while len(levels) < num_levels and levels[-1].shape[1] > 1:
+            prev = levels[-1]
+            np_, h, w, c = prev.shape
+            levels.append(
+                prev.reshape(np_, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+            )
+        mips = tuple(levels)
+    return CombinedAtlas(
+        pages=pages, material_page=jnp.asarray(material_page), mips=mips
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -237,11 +266,162 @@ def sample_combined_packed(
     return top * (1.0 - fy) + bot * fy
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HalfCombinedAtlas:
+    """f16-pair-packed combined pages — the FAST DIFFERENTIABLE path.
+
+    TPU gather cost at multi-million-row tables scales with row ELEMENT
+    count and is dtype-INsensitive (PERF.md gather laws), so packing two
+    f16 channels per uint32 element more than halves the fetch cost of the
+    f32 pages while keeping ~1e-3 absolute texel precision (f16 in [0,1] —
+    better than the reference's own RGBA8 units). Rows carry the u-wrapped
+    right neighbour (texture.pair_equirect layout), so a bilinear sample is
+    TWO row gathers of 12 uint32 elements vs the f32 path's four of 16 f32.
+
+    Differentiability: the packed words are integers, but
+    :func:`sample_combined_half` carries a custom VJP whose backward
+    recomputes the sample through the retained f32 ``pages`` — texel and uv
+    gradients flow exactly as in the f32 path (through an ≤2⁻¹¹ forward
+    quantization, a straight-through estimator in the standard sense). When
+    only material/light gradients are requested, XLA dead-code-eliminates
+    the recompute entirely.
+    """
+
+    words: jnp.ndarray  # (P, S, S, 12) u32: [self 6 | right-neighbour 6]
+    pages: jnp.ndarray  # (P, S, S, 16) f32 — backward/reference values
+    material_page: jnp.ndarray  # (M,) i32
+
+    @property
+    def size(self) -> int:
+        return self.words.shape[1]
+
+
+def build_combined_half(
+    materials: MaterialBank, atlas: TextureAtlas
+) -> HalfCombinedAtlas:
+    comb = build_combined(materials, atlas)
+    h = comb.pages[..., :12].astype(jnp.float16)  # drop the 4 pad channels
+    b = jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
+    self6 = b[..., 0::2] | (b[..., 1::2] << 16)  # (P, S, S, 6)
+    right6 = jnp.roll(self6, -1, axis=2)  # u-wrapped right neighbour
+    words = jnp.concatenate([self6, right6], axis=-1)  # (P, S, S, 12)
+    return HalfCombinedAtlas(
+        words=words, pages=comb.pages, material_page=comb.material_page
+    )
+
+
+def _unpack_half_tap(w6: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) u32 → (..., 12) f32 (two f16 lanes per word)."""
+    lo = jax.lax.bitcast_convert_type(
+        (w6 & 0xFFFF).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (w6 >> 16).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    # channels interleave back: word k holds (2k, 2k+1)
+    return jnp.stack([lo, hi], axis=-1).reshape(*w6.shape[:-1], 12)
+
+
+def _sample_half_words(words, material_page, material_id, uv, wrap):
+    s = words.shape[1]
+    page = material_page[material_id]
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    if wrap:
+        x0w = jnp.mod(x0, s)
+        y0w, y1w = jnp.mod(y0, s), jnp.mod(y0 + 1, s)
+    else:
+        # paired rows store the WRAPPED right texel; emulate clamp exactly
+        # like sample_combined_packed does.
+        x0w = jnp.clip(x0, 0, s - 2)
+        x0e = x0[..., None]
+        fx = jnp.where(x0e > s - 2, 1.0, jnp.where(x0e < 0, 0.0, fx))
+        y0w, y1w = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
+    flat = pad_gather_rows(words.reshape(-1, 12))
+    top2 = flat[(page * s + y0w) * s + x0w]  # (..., 12)
+    bot2 = flat[(page * s + y1w) * s + x0w]
+    t00 = _unpack_half_tap(top2[..., 0:6])
+    t01 = _unpack_half_tap(top2[..., 6:12])
+    t10 = _unpack_half_tap(bot2[..., 0:6])
+    t11 = _unpack_half_tap(bot2[..., 6:12])
+    top = t00 * (1.0 - fx) + t01 * fx
+    bot = t10 * (1.0 - fx) + t11 * fx
+    return (top * (1.0 - fy) + bot * fy).astype(jnp.float32)
+
+
+def sample_combined_half(
+    half: HalfCombinedAtlas,
+    material_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    wrap: bool = True,
+) -> jnp.ndarray:
+    """Bilinear sample of the f16-packed pages (2 gathers), differentiable
+    w.r.t. ``half.pages`` texels and ``uv`` via an f32 recompute backward.
+    uv (..., 2) → (..., 12)."""
+
+    @jax.custom_vjp
+    def smp(words, pages, mpage, mid, uv_):
+        return _sample_half_words(words, mpage, mid, uv_, wrap)
+
+    def smp_fwd(words, pages, mpage, mid, uv_):
+        return smp(words, pages, mpage, mid, uv_), (pages, mpage, mid, uv_)
+
+    def smp_bwd(res, g):
+        import numpy as np
+
+        pages, mpage, mid, uv_ = res
+
+        def f32_sample(p, u):
+            comb = CombinedAtlas(pages=p, material_page=mpage)
+            return sample_combined(comb, mid, u, wrap)[..., :12]
+
+        _, pull = jax.vjp(f32_sample, pages, uv_)
+        g_pages, g_uv = pull(g)
+        f0 = jax.dtypes.float0
+        return (
+            np.zeros(half.words.shape, f0),  # u32 words: no gradient
+            g_pages,
+            np.zeros(jnp.shape(mpage), f0),
+            np.zeros(jnp.shape(mid), f0),
+            g_uv,
+        )
+
+    smp.defvjp(smp_fwd, smp_bwd)
+    return smp(half.words, half.pages, half.material_page, material_id, uv)
+
+
 def sample_combined(
-    combined: CombinedAtlas, material_id: jnp.ndarray, uv: jnp.ndarray, wrap: bool = True
+    combined: CombinedAtlas,
+    material_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    wrap: bool = True,
+    lod: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Bilinear sample of the combined page for each pixel's material.
-    uv (..., 2) → (..., NUM_COMBINED). One 4-tap gather total."""
+    uv (..., 2) → (..., NUM_COMBINED). One 4-tap gather total; with ``lod``
+    (and baked mips) a stacked-pyramid trilinear sample — two 4-tap gathers
+    regardless of level count."""
+    if lod is not None and combined.mips is not None:
+        from .texture import sample_stacked_trilinear, stack_mips
+
+        flat = stack_mips(combined.mips)
+        page = combined.material_page[material_id]
+        return sample_stacked_trilinear(
+            flat,
+            combined.pages.shape[0],
+            combined.size,
+            combined.num_levels,
+            page,
+            uv,
+            lod,
+            wrap,
+        )
     pages = combined.pages
     s = pages.shape[1]
     page = combined.material_page[material_id]

@@ -62,8 +62,10 @@ from .ops.ibl import IBLMaps, ambient_ibl
 from .ops.texture import TextureAtlas, sample_atlas
 from .ops.texture_combined import (
     CombinedAtlas,
+    HalfCombinedAtlas,
     PackedCombinedAtlas,
     sample_combined,
+    sample_combined_half,
     sample_combined_packed,
 )
 
@@ -83,6 +85,7 @@ def shade_pixels(
     eye: jnp.ndarray,  # (3,)
     ibl: IBLMaps | None = None,
     combined: CombinedAtlas | None = None,
+    mip_lod: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
     """The PS stage (``Default.hlsl:47-161``) over arbitrary pixel batch dims.
 
@@ -171,12 +174,28 @@ def shade_pixels(
             )
             keep = ~((h_disp > 0.5) & oob)
 
+        # Screen-space mip LOD (render(mip_lod=True)): derivative-based level
+        # selection, the anti-aliasing the reference's 1-mip textures can't
+        # do (WICTextureLoader.h:78). Needs a 2-D (rows, W) pixel layout —
+        # callers with flat pixel batches keep the bilinear mip-0 path.
+        lod = None
+        if mip_lod and uv_t.ndim >= 3:
+            from .ops.texture import screen_space_lod
+
+            if combined is not None and not isinstance(combined, PackedCombinedAtlas):
+                lod = screen_space_lod(uv_t, combined.size)
+            elif combined is None and atlas is not None:
+                lod = screen_space_lod(uv_t, atlas.size)
+
         if combined is not None:
             # One 4-tap gather for every slot (see ops/texture_combined.py).
             if isinstance(combined, PackedCombinedAtlas):
+                # packed u8 pages are the mip-0 speed path (no pyramid)
                 smp = sample_combined_packed(combined, mid, uv_t)
+            elif isinstance(combined, HalfCombinedAtlas):
+                smp = sample_combined_half(combined, mid, uv_t)
             else:
-                smp = sample_combined(combined, mid, uv_t)
+                smp = sample_combined(combined, mid, uv_t, lod=lod)
             t_diffuse = smp[..., 0:3]
             t_specular = smp[..., 3:6]
             t_metallic = smp[..., 6:7]
@@ -187,7 +206,7 @@ def shade_pixels(
             pages = materials.tex_index[mid]  # (..., 12)
 
             def tex(slot):
-                return sample_atlas(atlas, pages[..., slot], uv_t)
+                return sample_atlas(atlas, pages[..., slot], uv_t, lod=lod)
 
             t_diffuse = tex(SLOT_DIFFUSE)
             t_specular = tex(SLOT_SPECULAR)
@@ -258,6 +277,7 @@ def shade_pixels(
         "raster_backend",
         "gbuf_precision",
         "raster_pairs_cap",
+        "mip_lod",
     ),
 )
 def render(
@@ -276,6 +296,7 @@ def render(
     raster_backend: str = "auto",
     gbuf_precision: str = "highest",
     raster_pairs_cap: int | None = None,
+    mip_lod: bool = False,
 ) -> jnp.ndarray:
     """Render the scene → (rows, W, 4) float32, display-encoded RGBA in [0,1].
 
@@ -491,6 +512,7 @@ def render(
             eye=camera.position,
             ibl=scene.ibl,
             combined=scene.combined_atlas,
+            mip_lod=mip_lod,
         )
         if keep is not None:
             # Parallax UV clip: discarded fragments fall through to the
@@ -732,11 +754,11 @@ def render_wireframe(
     """Wireframe render — the F1 debug toggle (``d3dApp.cpp:376-379``,
     wireframe PSO at ``PBRApp.cpp:878-881``). Hard-rasterizes, then marks
     pixels within ``thickness_px`` of their triangle's boundary."""
-    geom = flatten_scene(scene)
+    geom = flatten_scene_corners(scene, textured=False)
     vp = camera.view_proj()
     clip = math3d.transform_points_h(geom.pos_w, vp)
-    tri_id = raster.rasterize(clip, geom.tris, width=width, height=height)
-    sd = raster_soft.signed_distance_px(clip, geom.tris, tri_id, width=width, height=height)
+    tri_id = raster.rasterize(clip, None, width=width, height=height)
+    sd = raster_soft.signed_distance_px(clip, None, tri_id, width=width, height=height)
     on_wire = (tri_id >= 0) & (sd < thickness_px)
     bg = jnp.broadcast_to(scene.clear_color, (height, width, 3))
     line = jnp.asarray(line_color, jnp.float32)
@@ -765,29 +787,33 @@ def render_layered(
     accumulated transmittance (``PBRApp.cpp:830-844``), then sky background.
 
     Use :func:`render` for opaque-only scenes (fewer passes)."""
-    geom = flatten_scene(scene)
+    textured = scene.atlas is not None
+    geom = flatten_scene_corners(scene, textured=textured)
     vp = camera.view_proj()
-    clip = math3d.transform_points_h(geom.pos_w, vp)
+    clip = math3d.transform_points_h(geom.pos_w, vp)  # (T, 3, 4)
 
     face_transparent = scene.materials.transparent[geom.face_material] > 0.5
     solid_mask = ~face_transparent
 
-    packed = jnp.concatenate(
-        [geom.pos_w, geom.normal_w, geom.tangent_w, geom.bitangent_w, geom.uv],
-        axis=-1,
-    )
-
     def shade_at(tri_id):
-        attrs, _, _ = raster.interpolate_packed(
-            packed, clip, geom.tris, tri_id, width=width, height=height
+        attrs, _, _ = raster.interpolate_corners(
+            geom.attrs, clip, tri_id, width=width, height=height
         )
+        if textured:
+            tangent_w = attrs[..., 6:9]
+            bitangent_w = attrs[..., 9:12]
+            uv = attrs[..., 12:14]
+        else:
+            tangent_w = attrs[..., 3:6]
+            bitangent_w = attrs[..., 3:6]
+            uv = attrs[..., 0:2] * 0.0
         pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
         hdr, opacity, keep = shade_pixels(
             pos_w=attrs[..., 0:3],
             normal_w=attrs[..., 3:6],
-            tangent_w=attrs[..., 6:9],
-            bitangent_w=attrs[..., 9:12],
-            uv=attrs[..., 12:14],
+            tangent_w=tangent_w,
+            bitangent_w=bitangent_w,
+            uv=uv,
             material_id=pix_mat,
             materials=scene.materials,
             atlas=scene.atlas,
@@ -810,7 +836,7 @@ def render_layered(
     for _ in range(solid_layers):
         tid, z = raster.rasterize(
             clip,
-            geom.tris,
+            None,  # corner-major
             width=width,
             height=height,
             tri_mask=solid_mask,
@@ -848,7 +874,7 @@ def render_layered(
         for _ in range(transparent_layers):
             tid, z = raster.rasterize(
                 clip,
-                geom.tris,
+                None,  # corner-major
                 width=width,
                 height=height,
                 tri_mask=face_transparent,
@@ -900,14 +926,19 @@ def render_soft(
     the full PBR shader, and blends with SoftRas sigmoid-coverage ×
     softmax-depth weights (see ops/raster_soft.py). Gradients flow to vertex
     positions / world matrices THROUGH silhouettes and occlusion order —
-    the geometry-optimisation path. sigma→0, gamma→0 ≈ ``render``."""
-    geom = flatten_scene(scene)
+    the geometry-optimisation path. sigma→0, gamma→0 ≈ ``render``.
+
+    Rides the corner-major fast path end-to-end (gather-free raster setup,
+    one row gather per pixel per layer for attributes and one for the
+    silhouette distance)."""
+    textured = scene.atlas is not None
+    geom = flatten_scene_corners(scene, textured=textured)
     vp = camera.view_proj()
-    clip = math3d.transform_points_h(geom.pos_w, vp)
+    clip = math3d.transform_points_h(geom.pos_w, vp)  # (T, 3, 4)
 
     ids, zs = raster_soft.peel_layers(
         clip,
-        geom.tris,
+        None,  # corner-major
         width=width,
         height=height,
         num_layers=num_layers,
@@ -916,16 +947,28 @@ def render_soft(
     )
 
     def shade_layer(tri_id):
-        bary_p, _, depth, mask = raster.compute_barycentrics(
-            clip, geom.tris, tri_id, width=width, height=height, clamp=True
+        # clamp=True: dilated (near-miss) pixels sit slightly outside their
+        # triangle; project barycentrics back to the face so attributes
+        # don't extrapolate off the surface.
+        attrs, depth, mask = raster.interpolate_corners(
+            geom.attrs, clip, tri_id, width=width, height=height, clamp=True
         )
-        interp = lambda attr: raster.interpolate(attr, geom.tris, tri_id, bary_p)
+        pos_w = attrs[..., 0:3]
+        normal_w = attrs[..., 3:6]
+        if textured:
+            tangent_w = attrs[..., 6:9]
+            bitangent_w = attrs[..., 9:12]
+            uv = attrs[..., 12:14]
+        else:
+            tangent_w = normal_w
+            bitangent_w = normal_w
+            uv = attrs[..., 0:2] * 0.0
         hdr, _op, keep = shade_pixels(
-            pos_w=interp(geom.pos_w),
-            normal_w=interp(geom.normal_w),
-            tangent_w=interp(geom.tangent_w),
-            bitangent_w=interp(geom.bitangent_w),
-            uv=interp(geom.uv),
+            pos_w=pos_w,
+            normal_w=normal_w,
+            tangent_w=tangent_w,
+            bitangent_w=bitangent_w,
+            uv=uv,
             material_id=geom.face_material[jnp.maximum(tri_id, 0)],
             materials=scene.materials,
             atlas=scene.atlas,
@@ -937,7 +980,7 @@ def render_soft(
         )
         color = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
         sd = raster_soft.signed_distance_px(
-            clip, geom.tris, tri_id, width=width, height=height
+            clip, None, tri_id, width=width, height=height
         )
         if keep is not None:
             mask = mask & keep  # parallax uv clip discards the fragment

@@ -38,6 +38,10 @@ class RenderConfig:
     # frame via renderer.check_raster_capacity (the overflow guard that
     # works on backends without host callbacks).
     raster_pairs_cap: int | None = None
+    # Screen-space-derivative mip selection for textured materials (needs
+    # atlas/combined mip chains; see ops/texture.screen_space_lod). Off by
+    # default: mip-0 bilinear matches the reference's 1-mip loads.
+    mip_lod: bool = False
 
     def render_kwargs(self) -> dict:
         return dict(
@@ -49,6 +53,7 @@ class RenderConfig:
             tile_h=self.tile_h,
             tile_w=self.tile_w,
             raster_pairs_cap=self.raster_pairs_cap,
+            mip_lod=self.mip_lod,
         )
 
 

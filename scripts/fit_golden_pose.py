@@ -48,6 +48,15 @@ def load_target(path):
 
 
 def make_loss(scene, target, fg_only=False):
+    if fg_only:
+        # Sentinel clear color < 0: the composed background stays negative
+        # (tonemap only touches the foreground), giving an exact fg mask.
+        import dataclasses
+
+        scene = dataclasses.replace(
+            scene, clear_color=jnp.asarray([-1.0, -1.0, -1.0])
+        )
+
     @jax.jit
     def loss(pos, yaw, pitch):
         cam = Camera(
@@ -55,7 +64,7 @@ def make_loss(scene, target, fg_only=False):
         )
         img = render(scene, cam, width=FIT_W, height=FIT_H)
         if fg_only:
-            w = img[..., 3:4]  # fg where alpha==1 & mask — approximate
+            w = (img[..., 0:1] >= 0.0).astype(jnp.float32)
             return jnp.sum(w * (img[..., :3] - target) ** 2) / jnp.maximum(
                 jnp.sum(w), 1.0
             )
@@ -101,7 +110,7 @@ def main():
     if which == "pbr":
         target = load_target("/root/reference/Samples/PBR.png")
         scene = scenes.pbr_scene(assets=assets, environment="subway_lights")
-        scene = scene.with_combined_textures()
+        scene = scene.with_combined_textures(packed=True)
         loss = make_loss(scene, target)
         # Geometric estimate from apparent sphere radii (see round-3 notes):
         # camera right of the grass sphere, between the sphere rows, yawed left.
@@ -109,7 +118,7 @@ def main():
     else:
         target = load_target("/root/reference/Samples/rusted_iron_pbr.png")
         scene = scenes.rustediron_sphere_scene(assets=assets)
-        scene = scene.with_combined_textures()
+        scene = scene.with_combined_textures(packed=True)
         loss = make_loss(scene, target, fg_only=True)
         x0 = [0.0, 0.0, -2.4, 0.0, 0.0]
     best, best_l = fit(loss, x0)
@@ -129,6 +138,24 @@ def main():
     Image.fromarray((np.clip(img[..., :3], 0, 1) * 255).astype(np.uint8)).save(out)
     print("wrote", out)
     print("pose:", list(map(float, best)), "loss:", best_l)
+
+    import json
+
+    with open(os.path.join("docs", f"golden_pose_{which}.json"), "w") as f:
+        json.dump(
+            {
+                "position": [float(x) for x in best[:3]],
+                "yaw": float(best[3]),
+                "pitch": float(best[4]),
+                "fit_loss": float(best_l),
+                "sample": (
+                    "PBR.png" if which == "pbr" else "rusted_iron_pbr.png"
+                ),
+            },
+            f,
+            indent=1,
+        )
+    print("wrote docs/golden_pose_%s.json" % which)
 
 
 if __name__ == "__main__":

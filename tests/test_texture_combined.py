@@ -163,6 +163,59 @@ def test_parallax_uv_clip():
     )
 
 
+def test_half_combined_matches_f32_and_keeps_gradients():
+    """f16-pair-packed pages: forward within f16 quantization of the f32
+    path, texel/uv gradients equal to the f32 path's (recompute backward)."""
+    scene = _textured_scene()
+    from physically_based_renderer_tpu.ops.texture_combined import (
+        build_combined,
+        build_combined_half,
+        sample_combined,
+        sample_combined_half,
+    )
+
+    comb = build_combined(scene.materials, scene.atlas)
+    half = build_combined_half(scene.materials, scene.atlas)
+    rng = np.random.default_rng(7)
+    uv = jnp.asarray(rng.uniform(-0.5, 1.5, size=(257, 2)), jnp.float32)
+    mids = jnp.asarray(rng.integers(0, scene.materials.num_materials, size=257))
+
+    a = np.asarray(sample_combined(comb, mids, uv))[..., :12]
+    b = np.asarray(sample_combined_half(half, mids, uv))
+    np.testing.assert_allclose(b, a, atol=2e-3)  # f16 quantization bound
+
+    def loss_f32(pages, uv_):
+        c = dataclasses.replace(comb, pages=pages)
+        return jnp.sum(sample_combined(c, mids, uv_)[..., :12] ** 2)
+
+    def loss_half(pages, uv_):
+        h = dataclasses.replace(half, pages=pages)
+        return jnp.sum(sample_combined_half(h, mids, uv_) ** 2)
+
+    g32 = jax.grad(loss_f32, argnums=(0, 1))(comb.pages, uv)
+    gh = jax.grad(loss_half, argnums=(0, 1))(half.pages, uv)
+    # backward recomputes through f32 → gradients match up to the forward's
+    # f16 perturbation entering the (smooth) cotangent
+    for a_, b_ in zip(g32, gh):
+        sc = max(float(jnp.abs(a_).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                   atol=5e-3 * sc, rtol=2e-2)
+
+
+def test_half_combined_render_matches_f32():
+    scene32 = _textured_scene().with_combined_textures()
+    scene16 = _textured_scene().with_combined_textures(mode="half")
+    cam = Camera.create(aspect=W / H)
+    a = np.asarray(render(scene32, cam, width=W, height=H))
+    b = np.asarray(render(scene16, cam, width=W, height=H))
+    d = np.abs(b - a)
+    # f16 texels in display space; isolated specular-peak pixels amplify the
+    # roughness quantization (GGX near mirror), so bound the bulk and the
+    # outlier fraction separately.
+    assert np.quantile(d, 0.999) < 6e-3, np.quantile(d, 0.999)
+    assert (d > 6e-3).mean() < 2e-4, (d > 6e-3).mean()
+
+
 def test_packed_combined_matches_f32_combined():
     """u8-packed pages reproduce the f32 combined sample within quantization
     tolerance (≤ ~2/255 per channel after the sRGB round trip)."""
