@@ -109,74 +109,93 @@ def time_sharded_overhead(scene, camera, iters=ITERS):
     return loop(shmap) / loop(plain)
 
 
-def main() -> None:
+def _run_config(name: str) -> None:
+    """Measure ONE config and print its JSON line. Invoked in a fresh
+    subprocess per config: the axon tunnel's device state is not reliably
+    reusable across large back-to-back programs — measuring several 1080p
+    fwd+bwd pipelines in one process inflated the LAST config ~14×
+    (1151 ms vs 81 ms exclusive) from accumulated device buffers/compiled
+    programs. Process isolation restores exclusive-run numbers; the
+    persistent compile cache keeps repeat subprocess launches cheap."""
     from physically_based_renderer_tpu import Camera, scenes
 
-    results: dict[str, object] = {}
-
-    # Config 2 (BASELINE): the 195k-triangle analytic sphere grid.
-    grid_scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
-    grid_cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
-    results["sphere_grid_analytic"] = round(time_fwd_bwd(grid_scene, grid_cam), 1)
-
-    # Scaling proxy: single-chip shard_map overhead on the same workload.
-    try:
-        results["sharded_overhead_1chip"] = round(
-            time_sharded_overhead(grid_scene, grid_cam), 4
-        )
-    except Exception as e:  # pragma: no cover — never fail the bench
-        results["sharded_overhead_1chip"] = f"error: {type(e).__name__}"
-
-    # Configs 3-5 need the reference asset tree; degrade gracefully.
-    assets = None
-    try:
+    if name == "sphere_grid_analytic":
+        scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
+        cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
+        value = time_fwd_bwd(scene, cam)
+    elif name == "sharded_overhead_1chip":
+        scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
+        cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
+        value = time_sharded_overhead(scene, cam)
+    elif name == "pbr_textured_f32":
         assets = scenes.AssetCache()
-        have_assets = assets.root is not None
+        scene = scenes.pbr_scene(assets=assets).with_combined_textures()
+        cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
+        value = time_fwd_bwd(scene, cam)
+    elif name == "pbr_textured_half":
+        assets = scenes.AssetCache()
+        scene = scenes.pbr_scene(assets=assets).with_combined_textures(mode="half")
+        cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
+        value = time_fwd_bwd(scene, cam)
+    elif name == "mori_knob_ibl":
+        # mori_knob's MTL binds no texture maps (5 scalar materials) — IBL
+        # is the load-bearing extension here (BASELINE configs 4+5).
+        assets = scenes.AssetCache()
+        scene = scenes.mori_knob_scene(
+            assets=assets, environment="chelsea_stairs"
+        ).with_ibl()
+        cam = Camera.create(
+            position=(0.0, 0.8, -2.2), pitch=0.02, aspect=WIDTH / HEIGHT
+        )
+        value = time_fwd_bwd(scene, cam)
+    else:
+        raise SystemExit(f"unknown config {name!r}")
+    print(json.dumps({"config": name, "value": round(float(value), 4)}))
+
+
+CONFIGS = [
+    "sphere_grid_analytic",
+    "sharded_overhead_1chip",
+    "pbr_textured_f32",
+    "pbr_textured_half",
+    "mori_knob_ibl",
+]
+
+
+def main() -> None:
+    import os
+    import subprocess
+    import sys
+
+    from physically_based_renderer_tpu import scenes
+
+    try:
+        have_assets = scenes.AssetCache().root is not None
     except Exception:
         have_assets = False
 
-    northstar = None
-    if have_assets:
-        # Config 3: the full textured PBR scene (9 textured + 49 analytic
-        # spheres), differentiable f32 combined texture pages.
+    results: dict[str, object] = {}
+    for name in CONFIGS:
+        if not have_assets and name not in (
+            "sphere_grid_analytic",
+            "sharded_overhead_1chip",
+        ):
+            continue
         try:
-            pbr = scenes.pbr_scene(assets=assets).with_combined_textures()
-            cam = Camera.create(
-                position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--config", name],
+                capture_output=True,
+                text=True,
+                timeout=420,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            results["pbr_textured_f32"] = round(time_fwd_bwd(pbr, cam), 1)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results[name] = json.loads(line)["value"]
         except Exception as e:
-            results["pbr_textured_f32"] = f"error: {type(e).__name__}"
+            results[name] = f"error: {type(e).__name__}"
 
-        # Same scene through the f16-pair-packed differentiable pages
-        # (texture_combined.HalfCombinedAtlas) — the fast texel-grad path.
-        try:
-            pbr_h = scenes.pbr_scene(assets=assets).with_combined_textures(
-                mode="half"
-            )
-            cam = Camera.create(
-                position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT
-            )
-            results["pbr_textured_half"] = round(time_fwd_bwd(pbr_h, cam), 1)
-        except Exception as e:
-            results["pbr_textured_half"] = f"error: {type(e).__name__}"
-
-        # Config 4+5 (north star): mori_knob + Chelsea_Stairs IBL, textured.
-        try:
-            # mori_knob's MTL binds no texture maps (5 scalar materials) —
-            # IBL is the load-bearing extension here.
-            knob = scenes.mori_knob_scene(
-                assets=assets, environment="chelsea_stairs"
-            ).with_ibl()
-            cam = Camera.create(
-                position=(0.0, 0.8, -2.2), pitch=0.02, aspect=WIDTH / HEIGHT
-            )
-            northstar = time_fwd_bwd(knob, cam)
-            results["mori_knob_ibl"] = round(northstar, 1)
-        except Exception as e:
-            results["mori_knob_ibl"] = f"error: {type(e).__name__}"
-
-    if northstar is not None:
+    northstar = results.get("mori_knob_ibl")
+    if isinstance(northstar, (int, float)):
         metric = "1080p mori_knob+IBL textured pixels/s/chip (fwd+bwd)"
         value = northstar
     else:
@@ -197,4 +216,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--config":
+        _run_config(sys.argv[2])
+    else:
+        main()

@@ -218,15 +218,26 @@ class IBLMaps:
     # ONE 4-tap gather (TPU gathers are per-row latency-bound), with the
     # level lerp done on channels afterwards.
     specular_stack: jnp.ndarray | None = None
+    # f16-pair-packed words of the stack / irradiance map
+    # (texture.pair_pack_equirect_f16): halves the fetched element count
+    # again; sampled with straight-through gradients to the f32 originals.
+    specular_stack_f16: jnp.ndarray | None = None
+    irradiance_f16: jnp.ndarray | None = None
 
     @staticmethod
     def build(env: jnp.ndarray, **kwargs) -> "IBLMaps":
+        from .texture import pair_pack_equirect_f16
+
         levels = prefilter_specular(env)
+        stack = stack_specular_levels(levels)
+        irr = irradiance_map(env)
         return IBLMaps(
-            irradiance=irradiance_map(env),
+            irradiance=irr,
             specular_levels=levels,
             lut=brdf_lut(),
-            specular_stack=stack_specular_levels(levels),
+            specular_stack=stack,
+            specular_stack_f16=pair_pack_equirect_f16(stack),
+            irradiance_f16=pair_pack_equirect_f16(irr),
         )
 
     @property
@@ -300,7 +311,14 @@ def ambient_ibl(
     ks = f0 + (1.0 - f0) * jnp.power(1.0 - ndotv, 5.0)[..., None]
     kd = (1.0 - ks) * (1.0 - metallic)[..., None]
 
-    irr = sample_equirect_dir_paired(ibl.irradiance, n)[..., :3]
+    if ibl.irradiance_f16 is not None:
+        from .texture import sample_equirect_paired_f16
+
+        irr = sample_equirect_paired_f16(
+            ibl.irradiance_f16, ibl.irradiance, world_to_sky_uv(n)
+        )
+    else:
+        irr = sample_equirect_dir_paired(ibl.irradiance, n)[..., :3]
     diffuse = kd * irr * albedo
 
     r = 2.0 * ndotv[..., None] * n - v  # reflect(-v, n)
@@ -312,7 +330,19 @@ def ambient_ibl(
     frac = (lod - l0)[..., None]
     pre0 = jnp.zeros_like(albedo)
     pre1 = jnp.zeros_like(albedo)
-    if ibl.specular_stack is not None:
+    if ibl.specular_stack_f16 is not None:
+        from .texture import sample_equirect_paired_f16
+
+        smp_all = sample_equirect_paired_f16(
+            ibl.specular_stack_f16, ibl.specular_stack, world_to_sky_uv(r)
+        )
+        for li in range(nl):
+            sel0 = (l0 == li).astype(jnp.float32)[..., None]
+            sel1 = (jnp.clip(l0 + 1, 0, nl - 1) == li).astype(jnp.float32)[..., None]
+            smp = smp_all[..., 3 * li : 3 * li + 3]
+            pre0 = pre0 + sel0 * smp
+            pre1 = pre1 + sel1 * smp
+    elif ibl.specular_stack is not None:
         # One 4-tap gather for the whole roughness chain; level selection is
         # an elementwise channel blend on the fetched row.
         smp_all = sample_equirect_dir_paired(ibl.specular_stack, r)  # (..., L·3)

@@ -60,13 +60,32 @@ def camera_ray_directions(
     ndc_y = 1.0 - py / height * 2.0
 
     def unproject(z):
+        # Full-f32 matmul: TPU default (bf16) precision NaNs this path —
+        # the homogeneous w at deep NDC z comes from a near-total
+        # cancellation in the inverse matrix's last column, and bf16-rounded
+        # operands make it land on exactly 0 (observed: every sky pixel NaN
+        # on the axon TPU backend while CPU renders were fine).
         ndc = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, z)], axis=-1)
-        h4 = math3d.transform_points_h(ndc, inv_view_proj)
-        return h4[..., :3] / h4[..., 3:4]
+        out3 = jnp.einsum(
+            "...i,ij->...j",
+            ndc,
+            inv_view_proj[:3, :3],
+            precision=jax.lax.Precision.HIGHEST,
+        ) + inv_view_proj[3, :3]
+        w = jnp.einsum(
+            "...i,i->...",
+            ndc,
+            inv_view_proj[:3, 3],
+            precision=jax.lax.Precision.HIGHEST,
+        ) + inv_view_proj[3, 3]
+        return out3 / w[..., None]
 
+    # z=0.5 instead of the far plane z=1: same ray, but w(z=1) is itself a
+    # catastrophic cancellation (≈1e-9 of its terms' magnitude) that f32
+    # resolves to noise; mid-depth w is O(1) for any reasonable near/far.
     near_pt = unproject(0.0)
-    far_pt = unproject(1.0)
-    return math3d.normalize(far_pt - near_pt)
+    mid_pt = unproject(0.5)
+    return math3d.normalize(mid_pt - near_pt)
 
 
 # Above this texel count the per-frame pair_equirect roll+concat (a full 2×
@@ -83,9 +102,16 @@ def sample_sky(env: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     large maps (hi-res backgrounds) skip the pairing copy and take the plain
     4-gather path, which is cheaper than duplicating the whole map in HBM
     every frame."""
-    from .texture import pair_equirect, sample_equirect, sample_equirect_paired
+    from .texture import (
+        pair_equirect,
+        sample_equirect,
+        sample_equirect_paired,
+        sample_equirect_quad_u8,
+    )
 
     uv = world_to_sky_uv(directions)
+    if env.dtype == jnp.uint32:  # quad-packed u8 LDR background: ONE gather
+        return sample_equirect_quad_u8(env, uv)
     if env.shape[-1] > 4:  # already paired (baked at scene build)
         return sample_equirect_paired(env, uv)[..., :3]
     if env.shape[0] * env.shape[1] <= _PAIR_MAX_TEXELS:

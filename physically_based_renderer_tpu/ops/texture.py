@@ -354,6 +354,151 @@ def sample_equirect_paired(
     return (top * (1.0 - fy) + bot * fy).astype(jnp.float32)
 
 
+def quad_pack_equirect_u8(m: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) f32 in [0,1] → (H, W, 4) uint32: each row packs its own
+    texel plus its right (u-wrapped), down (v-wrapped) and down-right
+    neighbours as RGB8 words — the whole 2×2 bilinear footprint in ONE row,
+    so a sample is ONE narrow gather instead of four (or two paired) wide
+    ones. Built for LDR sky backgrounds, whose source data is 8-bit PNG
+    stored raw/255 (models/sibl.load_background): the u8 quantization is
+    bit-exact against the file, not a loss."""
+    q = jnp.round(jnp.clip(m[..., :3], 0.0, 1.0) * 255.0).astype(jnp.uint32)
+    word = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)  # (H, W)
+    right = jnp.roll(word, -1, axis=1)
+    down = jnp.roll(word, -1, axis=0)
+    downright = jnp.roll(right, -1, axis=0)
+    return jnp.stack([word, right, down, downright], axis=-1)
+
+
+def sample_equirect_quad_u8(words: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of a :func:`quad_pack_equirect_u8` map: ONE gather of
+    (H·W, 4) uint32 rows per pixel. u and v both wrap (g_SamLinearWrap
+    parity, Core.hlsl:22 — same texel selection as :func:`sample_equirect`
+    with wrap_v=True). uv (..., 2) → (..., 3) f32."""
+    h, w = words.shape[0], words.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0w = jnp.mod(x0f.astype(jnp.int32), w)
+    y0w = jnp.mod(y0f.astype(jnp.int32), h)
+    flat = pad_gather_rows(words.reshape(h * w, 4))
+    q = flat[y0w * w + x0w]  # (..., 4): t00 | t01 | t10 | t11 words
+
+    def rgb(word):
+        return jnp.stack(
+            [
+                (word & 0xFF).astype(jnp.float32),
+                ((word >> 8) & 0xFF).astype(jnp.float32),
+                ((word >> 16) & 0xFF).astype(jnp.float32),
+            ],
+            axis=-1,
+        ) * (1.0 / 255.0)
+
+    top = rgb(q[..., 0]) * (1.0 - fx) + rgb(q[..., 1]) * fx
+    bot = rgb(q[..., 2]) * (1.0 - fx) + rgb(q[..., 3]) * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def pair_pack_equirect_f16(m: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) f32 → (H, W, 2·⌈C/2⌉) uint32: channels packed two-per-word
+    as f16, each row carrying itself AND its u-wrapped right neighbour
+    (pair_equirect layout). Halves again the fetched element count of the
+    paired-f32 layout — TPU gather cost scales with row element count and is
+    dtype-insensitive (PERF.md gather laws). f16 keeps ~3 decimal digits,
+    plenty for prefiltered radiance; pair with the f32 original through
+    :func:`sample_equirect_paired_f16` for straight-through gradients."""
+    c = m.shape[-1]
+    if c % 2:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, 1)))
+    h16 = m.astype(jnp.float16)
+    b = jax.lax.bitcast_convert_type(h16, jnp.uint16).astype(jnp.uint32)
+    selfw = b[..., 0::2] | (b[..., 1::2] << 16)
+    rightw = jnp.roll(selfw, -1, axis=1)
+    return jnp.concatenate([selfw, rightw], axis=-1)
+
+
+def _unpack_f16_words(w: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(..., nw) u32 → (..., c) f32 (two f16 lanes per word)."""
+    lo = jax.lax.bitcast_convert_type(
+        (w & 0xFFFF).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    return jnp.stack([lo, hi], axis=-1).reshape(*w.shape[:-1], -1)[..., :c]
+
+
+def sample_equirect_paired_f16(
+    words: jnp.ndarray,
+    base: jnp.ndarray,
+    uv: jnp.ndarray,
+    wrap_v: bool = True,
+) -> jnp.ndarray:
+    """Bilinear equirect sample from :func:`pair_pack_equirect_f16` words:
+    2 narrow gathers. Same texel selection as :func:`sample_equirect`.
+
+    ``base`` (H, W, C) f32 is the unpacked original the words were built
+    from; tap cotangents scatter straight into it (straight-through w.r.t.
+    the f16 rounding), so gradients to the map flow exactly as in the f32
+    path — and are dead-code-eliminated when unused. uv gradients come from
+    the ordinary autodiff of the filter weights."""
+    h, w = words.shape[0], words.shape[1]
+    c = base.shape[-1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
+    y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
+    x0w = jnp.mod(x0, w)
+    x1w = jnp.mod(x0 + 1, w)
+    if wrap_v:
+        y0w, y1w = jnp.mod(y0, h), jnp.mod(y0 + 1, h)
+    else:
+        y0w, y1w = jnp.clip(y0, 0, h - 1), jnp.clip(y0 + 1, 0, h - 1)
+    idx_top = y0w * w + x0w
+    idx_bot = y1w * w + x0w
+    idx_top_r = y0w * w + x1w
+    idx_bot_r = y1w * w + x1w
+    nw = words.shape[-1] // 2
+    flat = pad_gather_rows(words.reshape(h * w, 2 * nw))
+
+    @jax.custom_vjp
+    def fetch(flat_w, base_, it, ib, itr, ibr):
+        top2 = flat_w[it]
+        bot2 = flat_w[ib]
+        return (
+            _unpack_f16_words(top2[..., :nw], c),
+            _unpack_f16_words(top2[..., nw:], c),
+            _unpack_f16_words(bot2[..., :nw], c),
+            _unpack_f16_words(bot2[..., nw:], c),
+        )
+
+    def fetch_fwd(flat_w, base_, it, ib, itr, ibr):
+        return fetch(flat_w, base_, it, ib, itr, ibr), (it, ib, itr, ibr)
+
+    def fetch_bwd(res, g):
+        import numpy as np
+
+        it, ib, itr, ibr = res
+        g00, g01, g10, g11 = g
+        bf = jnp.zeros((h * w, c), jnp.float32)
+        for idx, gt in ((it, g00), (itr, g01), (ib, g10), (ibr, g11)):
+            bf = bf.at[idx.reshape(-1)].add(gt.reshape(-1, c), mode="drop")
+        f0 = jax.dtypes.float0
+        z = lambda a: np.zeros(jnp.shape(a), f0)
+        return (z(flat), bf.reshape(base.shape), z(it), z(ib), z(itr), z(ibr))
+
+    fetch.defvjp(fetch_fwd, fetch_bwd)
+    t00, t01, t10, t11 = fetch(flat, base, idx_top, idx_bot, idx_top_r, idx_bot_r)
+    top = t00 * (1.0 - fx) + t01 * fx
+    bot = t10 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def sample_equirect(env: jnp.ndarray, uv: jnp.ndarray, wrap_v: bool = True) -> jnp.ndarray:
     """Bilinear sample of a single equirect map env (H,W,C), uv in [0,1].
     u wraps (longitude seam); v wraps too by default for exact parity with the

@@ -111,12 +111,14 @@ class AssetCache:
 
     def load_sky_background(self, name: str) -> jnp.ndarray | None:
         """Visible-sky map: the sIBL set's LDR background (what the reference
-        samples for g_SkyArray[0], PBRApp.cpp:1199-1208), pre-paired at build
-        time (ops/texture.pair_equirect) when small enough so the skybox pass
-        pays zero per-frame copies. None if the set has no LDR background."""
+        samples for g_SkyArray[0], PBRApp.cpp:1199-1208), quad-packed to u8
+        words at build time (ops/texture.quad_pack_equirect_u8): the whole
+        2×2 bilinear footprint rides ONE narrow gather per pixel — the f32
+        4-gather path cost ~44 ms/frame at 1080p on a 3k background. The
+        source PNG is 8-bit, so the u8 words are bit-exact against the file.
+        None if the set has no LDR background."""
         from .models.sibl import find_ibl, parse_ibl
-        from .ops.sky import _PAIR_MAX_TEXELS
-        from .ops.texture import pair_equirect
+        from .ops.texture import quad_pack_equirect_u8
 
         dirname, _ = ENVIRONMENTS[name]
         path = find_ibl(os.path.join(self.root, dirname))
@@ -125,10 +127,7 @@ class AssetCache:
         bg = parse_ibl(path).load_background()
         if bg is None:
             return None
-        sky = jnp.asarray(bg, jnp.float32)
-        if sky.shape[0] * sky.shape[1] <= _PAIR_MAX_TEXELS:
-            sky = pair_equirect(sky)
-        return sky
+        return quad_pack_equirect_u8(jnp.asarray(bg, jnp.float32))
 
     def load_sibl(self, name: str):
         """Parse the environment's sIBL descriptor (.ibl): env/reflection
