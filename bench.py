@@ -43,32 +43,36 @@ ITERS = 10
 
 
 def time_fwd_bwd(scene, camera, iters=ITERS):
-    """Pixels/s for one fwd+bwd step (gradients w.r.t. the material bank)."""
+    """Pixels/s for one fwd+bwd step (gradients w.r.t. the material bank).
+
+    The scene is a jit ARGUMENT, not a closure: closed-over scenes embed
+    every texture page as an HLO constant, and a few hundred MB of constants
+    exceeds the axon tunnel's compile-request size limit (HTTP 413)."""
     from physically_based_renderer_tpu.renderer import render
 
-    def loss_fn(materials, cam):
-        s = dataclasses.replace(scene, materials=materials)
+    def loss_fn(materials, sc, cam):
+        s = dataclasses.replace(sc, materials=materials)
         img = render(s, cam, width=WIDTH, height=HEIGHT)
         return jnp.mean(img[..., :3] ** 2)
 
     grad_fn = jax.grad(loss_fn, allow_int=True)
 
     @jax.jit
-    def bench_loop(materials, cam):
+    def bench_loop(sc, cam):
         def body(carry, _):
             # carry-dependent zero-perturbation defeats CSE/hoisting while
             # changing no values.
             cam2 = dataclasses.replace(cam, position=cam.position + carry * 0.0)
-            g = grad_fn(materials, cam2)
+            g = grad_fn(sc.materials, sc, cam2)
             return carry + g.roughness[0] * 0.0 + 1e-12, None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return acc
 
-    acc = bench_loop(scene.materials, camera)  # compile + warm
+    acc = bench_loop(scene, camera)  # compile + warm
     float(acc)
     t0 = time.perf_counter()
-    acc = bench_loop(scene.materials, camera)
+    acc = bench_loop(scene, camera)
     float(acc)  # host roundtrip = full sync
     dt = (time.perf_counter() - t0) / iters
     return WIDTH * HEIGHT / dt
@@ -83,27 +87,27 @@ def time_sharded_overhead(scene, camera, iters=ITERS):
 
     mesh = sharded.make_render_mesh(jax.devices()[:1])
 
-    def plain(cam):
-        return render(scene, cam, width=WIDTH, height=HEIGHT)[..., 0].sum()
+    def plain(sc, cam):
+        return render(sc, cam, width=WIDTH, height=HEIGHT)[..., 0].sum()
 
-    def shmap(cam):
+    def shmap(sc, cam):
         return sharded.render_sharded(
-            scene, cam, mesh=mesh, width=WIDTH, height=HEIGHT
+            sc, cam, mesh=mesh, width=WIDTH, height=HEIGHT
         )[..., 0].sum()
 
     def loop(fn):
         @jax.jit
-        def run(cam):
+        def run(sc, cam):
             def body(carry, _):
                 cam2 = dataclasses.replace(cam, position=cam.position + carry * 0.0)
-                return carry + fn(cam2) * 0.0 + 1e-12, None
+                return carry + fn(sc, cam2) * 0.0 + 1e-12, None
 
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
             return acc
 
-        float(run(camera))  # compile + warm
+        float(run(scene, camera))  # compile + warm
         t0 = time.perf_counter()
-        float(run(camera))
+        float(run(scene, camera))
         return (time.perf_counter() - t0) / iters
 
     return loop(shmap) / loop(plain)

@@ -153,6 +153,56 @@ def prefilter_specular(
     return tuple(levels)
 
 
+@functools.partial(jax.jit, static_argnames=("env_samples",))
+def sh9_coeffs(env: jnp.ndarray, env_samples: int = 64) -> jnp.ndarray:
+    """Project the env map onto the first 9 real spherical harmonics:
+    L_lm = Σ_texels Y_lm(d) L(d) dω — one (9, Ne)·(Ne, 3) MXU matmul,
+    exact quadrature, differentiable w.r.t. the env map."""
+    env_small = resize_env(env, env_samples, env_samples * 2)
+    dirs, solid = equirect_grid(env_samples, env_samples * 2)
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    one = jnp.ones_like(x)
+    ybasis = jnp.stack(
+        [
+            0.282095 * one,
+            0.488603 * y,
+            0.488603 * z,
+            0.488603 * x,
+            1.092548 * x * y,
+            1.092548 * y * z,
+            0.315392 * (3.0 * z * z - 1.0),
+            1.092548 * x * z,
+            0.546274 * (x * x - y * y),
+        ]
+    )  # (9, Ne)
+    return (ybasis * solid[None, :]) @ env_small.reshape(-1, 3)  # (9, 3)
+
+
+def sh9_irradiance(sh: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """E(n)/π from 9 SH coefficients — the Ramamoorthi–Hanrahan closed form
+    ("An Efficient Representation for Irradiance Environment Maps", 2001).
+    Cosine convolution truncates SH at degree 2 with ≤~1% energy error for
+    typical environments, so this replaces the irradiance-map GATHER with
+    ~30 VPU FLOPs/pixel: per-pixel equirect gathers at 1080p are
+    latency-bound per row (~8-10 ms per 2M-row gather), the single biggest
+    cost of the IBL ambient term. ``n`` (..., 3) unit normals → (..., 3),
+    same /π convention as :func:`irradiance_map` (directly multiplies
+    albedo)."""
+    c1, c2, c3, c4, c5 = 0.429043, 0.511664, 0.743125, 0.886227, 0.247708
+    x = n[..., 0:1]
+    y = n[..., 1:2]
+    z = n[..., 2:3]
+    e = (
+        c1 * sh[8] * (x * x - y * y)
+        + c3 * sh[6] * (z * z)
+        + c4 * sh[0]
+        - c5 * sh[6]
+        + 2.0 * c1 * (sh[4] * x * y + sh[7] * x * z + sh[5] * y * z)
+        + 2.0 * c2 * (sh[3] * x + sh[1] * y + sh[2] * z)
+    )
+    return e * (1.0 / PI)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "num_samples"))
 def brdf_lut(size: int = 64, num_samples: int = 256) -> jnp.ndarray:
     """Split-sum term 2: ∫ BRDF — the (NdotV, roughness) → (scale, bias) LUT,
@@ -218,15 +268,21 @@ class IBLMaps:
     # ONE 4-tap gather (TPU gathers are per-row latency-bound), with the
     # level lerp done on channels afterwards.
     specular_stack: jnp.ndarray | None = None
-    # f16-pair-packed words of the stack / irradiance map
-    # (texture.pair_pack_equirect_f16): halves the fetched element count
-    # again; sampled with straight-through gradients to the f32 originals.
+    # f16-QUAD-packed words of the stack / irradiance map
+    # (texture.quad_pack_equirect_f16): the whole bilinear footprint in one
+    # row, so each map costs ONE gather per pixel (equirect gathers at 1080p
+    # are latency-bound per gathered row — count, not width, is the cost);
+    # sampled with straight-through gradients to the f32 originals.
     specular_stack_f16: jnp.ndarray | None = None
     irradiance_f16: jnp.ndarray | None = None
+    # Degree-2 SH projection of the env map (9, 3): gather-free irradiance
+    # via the Ramamoorthi closed form (sh9_irradiance) — preferred over the
+    # irradiance-map gather when present.
+    irradiance_sh9: jnp.ndarray | None = None
 
     @staticmethod
     def build(env: jnp.ndarray, **kwargs) -> "IBLMaps":
-        from .texture import pair_pack_equirect_f16
+        from .texture import quad_pack_equirect_f16
 
         levels = prefilter_specular(env)
         stack = stack_specular_levels(levels)
@@ -236,8 +292,9 @@ class IBLMaps:
             specular_levels=levels,
             lut=brdf_lut(),
             specular_stack=stack,
-            specular_stack_f16=pair_pack_equirect_f16(stack),
-            irradiance_f16=pair_pack_equirect_f16(irr),
+            specular_stack_f16=quad_pack_equirect_f16(stack),
+            irradiance_f16=quad_pack_equirect_f16(irr),
+            irradiance_sh9=sh9_coeffs(env),
         )
 
     @property
@@ -311,10 +368,12 @@ def ambient_ibl(
     ks = f0 + (1.0 - f0) * jnp.power(1.0 - ndotv, 5.0)[..., None]
     kd = (1.0 - ks) * (1.0 - metallic)[..., None]
 
-    if ibl.irradiance_f16 is not None:
-        from .texture import sample_equirect_paired_f16
+    if ibl.irradiance_sh9 is not None:
+        irr = sh9_irradiance(ibl.irradiance_sh9, n)
+    elif ibl.irradiance_f16 is not None:
+        from .texture import sample_equirect_quad_f16
 
-        irr = sample_equirect_paired_f16(
+        irr = sample_equirect_quad_f16(
             ibl.irradiance_f16, ibl.irradiance, world_to_sky_uv(n)
         )
     else:
@@ -331,9 +390,9 @@ def ambient_ibl(
     pre0 = jnp.zeros_like(albedo)
     pre1 = jnp.zeros_like(albedo)
     if ibl.specular_stack_f16 is not None:
-        from .texture import sample_equirect_paired_f16
+        from .texture import sample_equirect_quad_f16
 
-        smp_all = sample_equirect_paired_f16(
+        smp_all = sample_equirect_quad_f16(
             ibl.specular_stack_f16, ibl.specular_stack, world_to_sky_uv(r)
         )
         for li in range(nl):

@@ -430,6 +430,89 @@ def _unpack_f16_words(w: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=-1).reshape(*w.shape[:-1], -1)[..., :c]
 
 
+def quad_pack_equirect_f16(m: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) f32 → (H, W, 4·⌈C/2⌉) uint32: f16-packed channels with the
+    whole 2×2 bilinear footprint (self, right, down, down-right; u and v
+    wrapped) in ONE row — a sample is a single gather. Per-pixel equirect
+    gathers at 1080p are LATENCY-bound per gathered row (~8-10 ms per 2M-row
+    gather almost regardless of width — measured: f16-halving the row width
+    changed IBL sampling cost by <1%), so halving the gather COUNT is the
+    lever, not narrowing rows."""
+    c = m.shape[-1]
+    if c % 2:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, 1)))
+    h16 = m.astype(jnp.float16)
+    b = jax.lax.bitcast_convert_type(h16, jnp.uint16).astype(jnp.uint32)
+    selfw = b[..., 0::2] | (b[..., 1::2] << 16)
+    rightw = jnp.roll(selfw, -1, axis=1)
+    downw = jnp.roll(selfw, -1, axis=0)
+    downrightw = jnp.roll(rightw, -1, axis=0)
+    return jnp.concatenate([selfw, rightw, downw, downrightw], axis=-1)
+
+
+def sample_equirect_quad_f16(
+    words: jnp.ndarray,
+    base: jnp.ndarray,
+    uv: jnp.ndarray,
+) -> jnp.ndarray:
+    """Bilinear equirect sample from :func:`quad_pack_equirect_f16` words:
+    ONE gather. u and v wrap (same texel selection as
+    :func:`sample_equirect` with wrap_v=True). ``base`` (H, W, C) f32 is the
+    unpacked original; tap cotangents scatter straight into it
+    (straight-through w.r.t. f16 rounding, dead-code-eliminated when map
+    gradients are unused); uv gradients via autodiff of the filter
+    weights."""
+    h, w = words.shape[0], words.shape[1]
+    c = base.shape[-1]
+    nw = words.shape[-1] // 4
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
+    y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
+    x0w = jnp.mod(x0, w)
+    x1w = jnp.mod(x0 + 1, w)
+    y0w = jnp.mod(y0, h)
+    y1w = jnp.mod(y0 + 1, h)
+    idx = y0w * w + x0w
+    idx01 = y0w * w + x1w
+    idx10 = y1w * w + x0w
+    idx11 = y1w * w + x1w
+    flat = pad_gather_rows(words.reshape(h * w, 4 * nw))
+
+    @jax.custom_vjp
+    def fetch(flat_w, base_, i00, i01, i10, i11):
+        q = flat_w[i00]
+        return (
+            _unpack_f16_words(q[..., 0 * nw : 1 * nw], c),
+            _unpack_f16_words(q[..., 1 * nw : 2 * nw], c),
+            _unpack_f16_words(q[..., 2 * nw : 3 * nw], c),
+            _unpack_f16_words(q[..., 3 * nw : 4 * nw], c),
+        )
+
+    def fetch_fwd(flat_w, base_, i00, i01, i10, i11):
+        return fetch(flat_w, base_, i00, i01, i10, i11), (i00, i01, i10, i11)
+
+    def fetch_bwd(res, g):
+        import numpy as np
+
+        idxs = res
+        bf = jnp.zeros((h * w, c), jnp.float32)
+        for idx_, gt in zip(idxs, g):
+            bf = bf.at[idx_.reshape(-1)].add(gt.reshape(-1, c), mode="drop")
+        f0 = jax.dtypes.float0
+        z = lambda a: np.zeros(jnp.shape(a), f0)
+        return (z(flat), bf.reshape(base.shape), z(idxs[0]), z(idxs[1]), z(idxs[2]), z(idxs[3]))
+
+    fetch.defvjp(fetch_fwd, fetch_bwd)
+    t00, t01, t10, t11 = fetch(flat, base, idx, idx01, idx10, idx11)
+    top = t00 * (1.0 - fx) + t01 * fx
+    bot = t10 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def sample_equirect_paired_f16(
     words: jnp.ndarray,
     base: jnp.ndarray,

@@ -280,15 +280,15 @@ class HalfCombinedAtlas:
     TWO row gathers of 12 uint32 elements vs the f32 path's four of 16 f32.
 
     Differentiability: the packed words are integers, but
-    :func:`sample_combined_half` carries a custom VJP whose backward
-    recomputes the sample through the retained f32 ``pages`` — texel and uv
-    gradients flow exactly as in the f32 path (through an ≤2⁻¹¹ forward
-    quantization, a straight-through estimator in the standard sense). When
-    only material/light gradients are requested, XLA dead-code-eliminates
-    the recompute entirely.
+    :func:`sample_combined_half` puts a custom VJP at the tap fetch — texel
+    cotangents scatter straight into the retained f32 ``pages``
+    (straight-through w.r.t. the ≤2⁻¹¹ forward quantization), uv gradients
+    come from ordinary autodiff of the filter weights. When only
+    material/light gradients are requested, XLA dead-code-eliminates the
+    texel scatter entirely.
     """
 
-    words: jnp.ndarray  # (P, S, S, 12) u32: [self 6 | right-neighbour 6]
+    words: jnp.ndarray  # (P, S, S, 24) u32: [t00 | t01 | t10 | t11] ×6 words
     pages: jnp.ndarray  # (P, S, S, 16) f32 — backward/reference values
     material_page: jnp.ndarray  # (M,) i32
 
@@ -305,7 +305,12 @@ def build_combined_half(
     b = jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
     self6 = b[..., 0::2] | (b[..., 1::2] << 16)  # (P, S, S, 6)
     right6 = jnp.roll(self6, -1, axis=2)  # u-wrapped right neighbour
-    words = jnp.concatenate([self6, right6], axis=-1)  # (P, S, S, 12)
+    down6 = jnp.roll(self6, -1, axis=1)  # v-wrapped down neighbour
+    downright6 = jnp.roll(right6, -1, axis=1)
+    # Quad layout: the whole 2×2 bilinear footprint in ONE row → the sample
+    # is a single narrow gather (pairing halved 4 f32 gathers to 2; quad
+    # halves the row count again — gathers are per-row latency-bound).
+    words = jnp.concatenate([self6, right6, down6, downright6], axis=-1)
     return HalfCombinedAtlas(
         words=words, pages=comb.pages, material_page=comb.material_page
     )
@@ -337,11 +342,11 @@ def _sample_half_words(words, material_page, material_id, uv, wrap):
 def _half_taps_and_weights(
     words, pages, material_page, material_id, uv, wrap, differentiable
 ):
-    """The 4 bilinear taps (f32, unpacked from the f16 words — 2 row
-    gathers) plus filter weights. With ``differentiable=True`` the tap fetch
+    """The 4 bilinear taps (f32, unpacked from the quad f16 words — ONE row
+    gather) plus filter weights. With ``differentiable=True`` the tap fetch
     carries a custom VJP whose backward scatter-adds the tap cotangents
     straight into ``pages`` (straight-through w.r.t. the ≤2⁻¹¹ f16
-    quantization) — NO f32-path recompute: the old backward re-ran the
+    quantization) — NO f32-path recompute: an earlier backward re-ran the
     4-gather f32 sample (jax.vjp of :func:`sample_combined`), which under
     ``jax.grad`` made the half path SLOWER than the f32 path it was meant to
     beat (measured 4.7 vs 7.4 Mpix/s fwd+bwd at 1080p). uv gradients come
@@ -359,68 +364,70 @@ def _half_taps_and_weights(
         x0w, x1w = jnp.mod(x0, s), jnp.mod(x0 + 1, s)
         y0w, y1w = jnp.mod(y0, s), jnp.mod(y0 + 1, s)
     else:
-        # paired rows store the WRAPPED right texel; emulate clamp exactly
-        # like sample_combined_packed does.
+        # quad rows store the WRAPPED right/down texels; emulate clamp by
+        # clipping the anchor a texel early and saturating the filter weight
+        # toward the clamped edge — exactly the duplicate-edge-texel filter
+        # of sample_combined (same trick as sample_combined_packed's x).
         x0w = jnp.clip(x0, 0, s - 2)
         x1w = x0w + 1
         x0e = x0[..., None]
         fx = jnp.where(x0e > s - 2, 1.0, jnp.where(x0e < 0, 0.0, fx))
-        y0w, y1w = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
-    row_t = (page * s + y0w) * s
-    row_b = (page * s + y1w) * s
-    idx_top = row_t + x0w
-    idx_bot = row_b + x0w
-    flat = pad_gather_rows(words.reshape(-1, 12))
+        y0w = jnp.clip(y0, 0, s - 2)
+        y1w = y0w + 1
+        y0e = y0[..., None]
+        fy = jnp.where(y0e > s - 2, 1.0, jnp.where(y0e < 0, 0.0, fy))
+    idx = (page * s + y0w) * s + x0w
+    flat = pad_gather_rows(words.reshape(-1, 24))
 
     if not differentiable:
-        top2 = flat[idx_top]
-        bot2 = flat[idx_bot]
+        q = flat[idx]  # (..., 24): t00 | t01 | t10 | t11
         return (
-            _unpack_half_tap(top2[..., 0:6]),
-            _unpack_half_tap(top2[..., 6:12]),
-            _unpack_half_tap(bot2[..., 0:6]),
-            _unpack_half_tap(bot2[..., 6:12]),
+            _unpack_half_tap(q[..., 0:6]),
+            _unpack_half_tap(q[..., 6:12]),
+            _unpack_half_tap(q[..., 12:18]),
+            _unpack_half_tap(q[..., 18:24]),
             fx,
             fy,
         )
 
-    # Texel indices each tap actually reads (right half of a paired row =
-    # the x1 column) — the scatter targets of the backward.
-    idx_top_r = row_t + x1w
-    idx_bot_r = row_b + x1w
+    # Texel indices each tap actually reads — the scatter targets of the
+    # backward (right/down halves of a quad row = the x1/y1 columns).
+    row_t = (page * s + y0w) * s
+    row_b = (page * s + y1w) * s
+    idx01 = row_t + x1w
+    idx10 = row_b + x0w
+    idx11 = row_b + x1w
     num_texels = pages.shape[0] * s * s
 
     @jax.custom_vjp
-    def fetch(flat_w, pages_, it, ib, itr, ibr):
-        top2 = flat_w[it]
-        bot2 = flat_w[ib]
+    def fetch(flat_w, pages_, i00, i01, i10, i11):
+        q = flat_w[i00]
         return (
-            _unpack_half_tap(top2[..., 0:6]),
-            _unpack_half_tap(top2[..., 6:12]),
-            _unpack_half_tap(bot2[..., 0:6]),
-            _unpack_half_tap(bot2[..., 6:12]),
+            _unpack_half_tap(q[..., 0:6]),
+            _unpack_half_tap(q[..., 6:12]),
+            _unpack_half_tap(q[..., 12:18]),
+            _unpack_half_tap(q[..., 18:24]),
         )
 
-    def fetch_fwd(flat_w, pages_, it, ib, itr, ibr):
-        return fetch(flat_w, pages_, it, ib, itr, ibr), (it, ib, itr, ibr)
+    def fetch_fwd(flat_w, pages_, i00, i01, i10, i11):
+        return fetch(flat_w, pages_, i00, i01, i10, i11), (i00, i01, i10, i11)
 
     def fetch_bwd(res, g):
         import numpy as np
 
-        it, ib, itr, ibr = res
-        g00, g01, g10, g11 = g
+        i00, i01, i10, i11 = res
         pf = jnp.zeros((num_texels, NUM_COMBINED), jnp.float32)
-        for idx, gt in ((it, g00), (itr, g01), (ib, g10), (ibr, g11)):
-            pf = pf.at[idx.reshape(-1), :12].add(
+        for idx_, gt in zip((i00, i01, i10, i11), g):
+            pf = pf.at[idx_.reshape(-1), :12].add(
                 gt.reshape(-1, 12), mode="drop"
             )
         g_pages = pf.reshape(pages.shape)
         f0 = jax.dtypes.float0
         z = lambda a: np.zeros(jnp.shape(a), f0)
-        return (z(flat), g_pages, z(it), z(ib), z(itr), z(ibr))
+        return (z(flat), g_pages, z(i00), z(i01), z(i10), z(i11))
 
     fetch.defvjp(fetch_fwd, fetch_bwd)
-    t00, t01, t10, t11 = fetch(flat, pages, idx_top, idx_bot, idx_top_r, idx_bot_r)
+    t00, t01, t10, t11 = fetch(flat, pages, idx, idx01, idx10, idx11)
     return t00, t01, t10, t11, fx, fy
 
 

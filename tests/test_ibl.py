@@ -150,3 +150,30 @@ def test_env_brdf_approx_matches_lut():
     core = (vv > 0.1)
     assert err[core].mean() < 0.05, err[core].mean()
     assert np.median(err[core]) < 0.03
+
+
+def test_sh9_irradiance_matches_map():
+    """Gather-free SH9 irradiance (Ramamoorthi closed form) vs the dense
+    quadrature irradiance map: constant env exact, smooth env ≤ a few %."""
+    env = jnp.full((32, 64, 3), 2.0)
+    sh = ibl_ops.sh9_coeffs(env)
+    d = np.random.default_rng(0).normal(size=(64, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    n = jnp.asarray(d, jnp.float32)
+    e = np.asarray(ibl_ops.sh9_irradiance(sh, n))
+    np.testing.assert_allclose(e, 2.0, rtol=2e-2)
+
+    # smooth directional env: one broad lobe around +y
+    dirs, _ = ibl_ops.equirect_grid(32, 64)
+    lobe = np.maximum(np.asarray(dirs)[:, 1], 0.0) ** 2
+    env2 = jnp.asarray(
+        np.broadcast_to(lobe[:, None], (32 * 64, 3)).reshape(32, 64, 3) * 5.0
+    )
+    sh2 = ibl_ops.sh9_coeffs(env2)
+    e2 = np.asarray(ibl_ops.sh9_irradiance(sh2, n))
+    # reference: sample the dense irradiance map along the same normals
+    irr_map = ibl_ops.irradiance_map(env2)
+    from physically_based_renderer_tpu.ops.ibl import sample_equirect_dir
+
+    ref = np.asarray(sample_equirect_dir(irr_map, n))
+    np.testing.assert_allclose(e2, ref, rtol=0.08, atol=5e-3)
