@@ -73,12 +73,18 @@ def make_loss(scene, target, fg_only=False):
     return loss
 
 
-def fit(loss, x0, iters=60, seed=0):
-    """Coarse random search around x0, then coordinate finite-diff descent."""
+def fit(loss, x0, iters=60, seed=0, bounds=None):
+    """Coarse random search around x0, then coordinate finite-diff descent.
+    ``bounds``: optional (lo, hi) arrays clamping every candidate — e.g. the
+    rust fit pins camera depth near the geometric estimate, because the
+    foreground-masked loss has a degenerate minimum at sphere→far (smaller
+    mask, lower loss: observed z drifting −2.4 → −8.2)."""
     rng = np.random.default_rng(seed)
     x0 = np.asarray(x0, np.float32)  # [px, py, pz, yaw, pitch]
 
     def f(x):
+        if bounds is not None:
+            np.clip(x, bounds[0], bounds[1], out=x)
         return float(loss(jnp.asarray(x[:3]), jnp.float32(x[3]), jnp.float32(x[4])))
 
     best, best_l = x0.copy(), f(x0)
@@ -115,13 +121,21 @@ def main():
         # Geometric estimate from apparent sphere radii (see round-3 notes):
         # camera right of the grass sphere, between the sphere rows, yawed left.
         x0 = [4.8, -1.3, -4.0, -0.6, 0.05]
+        bounds = None
     else:
         target = load_target("/root/reference/Samples/rusted_iron_pbr.png")
         scene = scenes.rustediron_sphere_scene(assets=assets)
         scene = scene.with_combined_textures(packed=True)
         loss = make_loss(scene, target, fg_only=True)
-        x0 = [0.0, 0.0, -2.4, 0.0, 0.0]
-    best, best_l = fit(loss, x0)
+        # Geometric depth estimate: the unit sphere spans the full 800 px
+        # frame height in the sample, so d ≈ 1/sin(fovY/2) = 1/sin(π/8) ≈
+        # 2.61; bound z around it to kill the sphere→far degenerate minimum.
+        x0 = [0.0, 0.0, -2.6, 0.0, 0.0]
+        bounds = (
+            np.array([-0.8, -0.8, -3.1, -0.5, -0.3], np.float32),
+            np.array([0.8, 0.8, -2.2, 0.5, 0.3], np.float32),
+        )
+    best, best_l = fit(loss, x0, bounds=bounds)
 
     # Full-res render with the fitted pose → docs/
     cam = Camera(
