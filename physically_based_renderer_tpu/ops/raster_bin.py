@@ -240,7 +240,12 @@ def bin_triangles(
     jumbo = valid & (span > max(2, max_span))
 
     if big_cap is None:
-        if num_t <= (1 << 16):
+        if max_span >= 32:
+            # Wide spans (small scenes, see renderer's adaptive max_span):
+            # bound the dense big-block emission (big_cap × max_span sort
+            # keys) — spilled bigs fall back to jumbo, still correct.
+            big_cap = max(4096, num_t // 4)
+        elif num_t <= (1 << 16):
             big_cap = num_t  # small scenes: all fit, no ranking sort
         else:
             big_cap = max(4096, num_t // 8)

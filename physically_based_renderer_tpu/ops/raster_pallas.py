@@ -1339,6 +1339,7 @@ def raster_shade(
     y_offset: jnp.ndarray | int = 0,
     tile_h: int = 4,
     tile_w: int = 128,
+    max_span: int = 16,
     cull_backface: bool = True,
     num_materials: int = 0,
     num_dir: int = 0,
@@ -1369,6 +1370,7 @@ def raster_shade(
         rows=rows_,
         tile_h=tile_h,
         tile_w=tile_w,
+        max_span=max_span,
         cull_backface=cull_backface,
         num_materials=num_materials,
         num_dir=num_dir,
@@ -1469,6 +1471,7 @@ def raster_gbuffer(
     y_offset: jnp.ndarray | int = 0,
     tile_h: int = 16,
     tile_w: int = 128,
+    max_span: int = 8,
     cull_backface: bool = True,
     num_materials: int = 0,
     pairs_cap: int | None = None,
@@ -1499,6 +1502,7 @@ def raster_gbuffer(
             y_offset=y_off_,
             tile_h=tile_h,
             tile_w=tile_w,
+            max_span=max_span,
             cull_backface=cull_backface,
             face_material=fm_,
             num_materials=num_materials,

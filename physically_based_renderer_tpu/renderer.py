@@ -320,6 +320,15 @@ def render(
     vp = camera.view_proj()
     clip = math3d.transform_points_h(geom.pos_w, vp)  # (T, 3, 4)
     packed = geom.attrs  # (T, 3, C) with C = 6 or 14
+    # Adaptive binning span: small scenes tend to have LARGE on-screen
+    # triangles, and every triangle spanning more than max_span tiles goes
+    # jumbo — a global run EVERY tile rescans. mori_knob at 1080p had 139
+    # jumbos at max_span=8 (backdrop triangles spanning up to 56 tiles),
+    # putting 2 extra chunk-steps in front of all ~1000 tiles — ~2/3 of the
+    # G-buffer kernel's 40 ms. max_span=64 debinds them for a ~766k-slot
+    # sort, trivial at this scene size; big scenes keep the tuned defaults.
+    num_tris = geom.pos_w.shape[0]
+    span_wide = num_tris <= (1 << 15)
 
     backend = raster_backend
     if backend == "auto":
@@ -374,6 +383,7 @@ def render(
             y_offset=y_offset,
             tile_h=tile_h if tile_h is not None else 4,
             tile_w=tile_w,
+            max_span=64 if span_wide else 16,
             cull_backface=cull_backface,
             num_materials=materials.num_materials,
             num_dir=lights.num_dir,
@@ -427,6 +437,7 @@ def render(
                 y_offset=y_offset,
                 tile_h=tile_h if tile_h is not None else 16,
                 tile_w=tile_w,
+                max_span=64 if span_wide else 8,
                 cull_backface=cull_backface,
                 num_materials=scene.materials.num_materials,
                 pairs_cap=raster_pairs_cap,
@@ -445,6 +456,7 @@ def render(
                 y_offset=y_offset,
                 tile_h=tile_h if tile_h is not None else 16,
                 tile_w=tile_w,
+                max_span=64 if span_wide else 8,
                 cull_backface=cull_backface,
                 face_material=geom.face_material,
                 num_materials=scene.materials.num_materials,
@@ -669,17 +681,20 @@ def check_raster_capacity(
     geom = flatten_scene_corners(scene, textured=textured)
     clip = math3d.transform_points_h(geom.pos_w, camera.view_proj())
     st = setup_corners(clip, width, height, True, None)
-    max_span = 8
+    span_wide = geom.pos_w.shape[0] <= (1 << 15)
+    max_span = 64 if span_wide else 8
     if tile_h is None:
         # Mirror render()'s backend defaults: the fused shade kernel bins at
-        # 4-row tiles with max_span 16, the G-buffer kernel at 16/8.
+        # 4-row tiles with max_span 16, the G-buffer kernel at 16/8; small
+        # scenes widen to 64 (the adaptive jumbo-avoidance rule in render).
         fused_shade = (
             not textured
             and scene.ibl is None
             and not scene.materials.any_alpha_test
         )
         tile_h = 4 if fused_shade else 16
-        max_span = 16 if fused_shade else 8
+        if not span_wide:
+            max_span = 16 if fused_shade else 8
     binned = bin_triangles(
         st,
         width=width,
