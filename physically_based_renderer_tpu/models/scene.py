@@ -97,9 +97,13 @@ class Scene:
 
         ``mode`` (overrides the legacy ``packed`` flag):
           * ``"f32"``   — full-precision pages, differentiable (default);
-          * ``"half"``  — f16-pair-packed pages: ~2.7× fewer fetched
-            elements, still differentiable w.r.t. texels (f32 recompute
-            backward; see ``texture_combined.HalfCombinedAtlas``);
+          * ``"quad"``  — f32 QUAD-packed pages: ONE row gather per sample
+            (latency-bound gathers make gather COUNT the cost), bit-exact
+            f32 forward AND exact texel gradients — the fast exact path
+            (4× page memory; see ``texture_combined.QuadCombinedAtlas``);
+          * ``"half"``  — f16-quad-packed pages: one narrow gather,
+            straight-through texel grads to the f32 originals
+            (see ``texture_combined.HalfCombinedAtlas``);
           * ``"packed"`` — u8/uint32 pages: fastest, RGBA8 parity with the
             reference's texture units, NOT differentiable w.r.t. texels."""
         assert self.atlas is not None, "scene has no texture atlas"
@@ -107,12 +111,14 @@ class Scene:
             build_combined,
             build_combined_half,
             build_combined_packed,
+            build_combined_quad,
         )
 
         if mode is None:
             mode = "packed" if packed else "f32"
         build = {
             "f32": build_combined,
+            "quad": build_combined_quad,
             "half": build_combined_half,
             "packed": build_combined_packed,
         }[mode]

@@ -25,21 +25,50 @@ import numpy as np
 
 _BWD_PRECISION = jax.lax.Precision.HIGH
 
+# Below this row count the FORWARD also goes through the one-hot MXU matmul:
+# XLA's row gather is latency-bound (~6.6 ms for 2M pixels at 1080p,
+# INDEPENDENT of table size — measured round 4), while the one-hot
+# contraction against a tiny table is ~3.2 ms at the same pixel count. At
+# Precision.HIGHEST the matmul reproduces the f32 table values exactly
+# (products are 1.0·value; the bf16-split passes recover full f32), so the
+# forward stays bit-identical to the gather.
+_ONEHOT_FWD_MAX_ROWS = 128
+
 
 def fetch_columns(table: jnp.ndarray, mid: jnp.ndarray) -> jnp.ndarray:
     """``table[mid]`` — (M, K) table, integer ids of any batch shape → (..., K).
 
-    Exact-gather forward; backward scatters cotangents into the table as a
-    one-hot MXU matmul instead of an HLO scatter. Differentiable w.r.t.
-    ``table``; ``mid`` is integer (no gradient)."""
+    Exact forward (gather for big tables, exact one-hot MXU matmul for small
+    ones — the common material-bank case); backward scatters cotangents into
+    the table as a one-hot MXU matmul instead of an HLO scatter.
+    Differentiable w.r.t. ``table``; ``mid`` is integer (no gradient)."""
     m, k = table.shape
+
+    def forward(t, i):
+        if (
+            m <= _ONEHOT_FWD_MAX_ROWS
+            and i.size >= (1 << 16)
+            and table.dtype == jnp.float32
+        ):
+            onehot = (i.reshape(-1)[:, None] == jnp.arange(m, dtype=i.dtype)).astype(
+                jnp.float32
+            )
+            out = jax.lax.dot_general(
+                onehot,
+                t,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(*i.shape, k)
+        return t[i]
 
     @jax.custom_vjp
     def fetch(t, i):
-        return t[i]
+        return forward(t, i)
 
     def fwd(t, i):
-        return t[i], i
+        return forward(t, i), i
 
     def bwd(i, g):
         gf = g.reshape(-1, k)

@@ -345,6 +345,158 @@ def env_brdf_approx(ndotv: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([scale, bias], axis=-1)
 
 
+def specular_levels_lerp(
+    smp_all: jnp.ndarray, roughness: jnp.ndarray, num_levels: int
+) -> jnp.ndarray:
+    """Roughness → level blend over a stacked specular sample (..., L·3):
+    the channel-select half of the stacked-gather path (ambient_ibl's loop,
+    factored out for the fused-kernel epilogue)."""
+    lod = jnp.clip(roughness, 0.0, 1.0) * (num_levels - 1)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    pre0 = jnp.zeros(smp_all.shape[:-1] + (3,), smp_all.dtype)
+    pre1 = jnp.zeros_like(pre0)
+    for li in range(num_levels):
+        sel0 = (l0 == li).astype(jnp.float32)[..., None]
+        sel1 = (jnp.clip(l0 + 1, 0, num_levels - 1) == li).astype(jnp.float32)[
+            ..., None
+        ]
+        smp = smp_all[..., 3 * li : 3 * li + 3]
+        pre0 = pre0 + sel0 * smp
+        pre1 = pre1 + sel1 * smp
+    return pre0 * (1.0 - frac) + pre1 * frac
+
+
+def sample_spec_sky_merged(
+    ibl: "IBLMaps",
+    r: jnp.ndarray,  # (..., 3) unit reflect directions (hit pixels)
+    hit: jnp.ndarray,  # (...,) bool
+    sky_words: jnp.ndarray | None,  # (Hk, Wk, 4) u32 quad-u8 background
+    sky_uv: jnp.ndarray | None,  # (..., 2) equirect uv of the camera rays
+):
+    """ONE merged row gather for the whole ambient-environment tail.
+
+    Foreground pixels need the prefiltered-specular row (quad-f16 stack),
+    background pixels need the sky row (quad-u8) — mutually exclusive, so
+    both ride a single latency-bound gather (~6.8 ms/2M rows at 1080p
+    regardless of row width — PERF.md gather laws) instead of one each.
+
+    Returns (smp_all (..., L·3) f32 prefiltered taps filtered bilinearly,
+    sky_rgb (..., 3) f32 or None). ``smp_all`` is differentiable w.r.t.
+    ``ibl.specular_stack`` (straight-through tap scatter) and w.r.t. ``r``
+    through the filter weights; sky is u8 LDR (no texel grads, reference
+    parity)."""
+    from .texture import _unpack_f16_words, pad_gather_rows
+
+    words = ibl.specular_stack_f16  # (Hs, Ws, 4·nw) u32
+    base = ibl.specular_stack  # (Hs, Ws, C)
+    hs, ws = words.shape[0], words.shape[1]
+    c = base.shape[-1]
+    nw = words.shape[-1] // 4
+
+    uvr = world_to_sky_uv(r)
+    x = uvr[..., 0] * ws - 0.5
+    y = uvr[..., 1] * hs - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
+    y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
+    x0w, x1w = jnp.mod(x0, ws), jnp.mod(x0 + 1, ws)
+    y0w, y1w = jnp.mod(y0, hs), jnp.mod(y0 + 1, hs)
+    i00 = y0w * ws + x0w
+    i01 = y0w * ws + x1w
+    i10 = y1w * ws + x0w
+    i11 = y1w * ws + x1w
+
+    spec_flat = words.reshape(hs * ws, 4 * nw)
+    ns = spec_flat.shape[0]
+    row_w = spec_flat.shape[-1]
+    if sky_words is not None:
+        hk, wk = sky_words.shape[0], sky_words.shape[1]
+        sky_flat = jnp.pad(
+            sky_words.reshape(hk * wk, 4), ((0, 0), (0, row_w - 4))
+        )
+        merged = pad_gather_rows(
+            jnp.concatenate([spec_flat, sky_flat], axis=0)
+        )
+        xs = sky_uv[..., 0] * wk - 0.5
+        ys = sky_uv[..., 1] * hk - 0.5
+        xs0f, ys0f = jnp.floor(xs), jnp.floor(ys)
+        fxs = (xs - xs0f)[..., None]
+        fys = (ys - ys0f)[..., None]
+        xs0 = jnp.mod(xs0f.astype(jnp.int32), wk)
+        ys0 = jnp.mod(ys0f.astype(jnp.int32), hk)
+        sky_idx = ns + ys0 * wk + xs0
+        idx = jnp.where(hit, i00, sky_idx)
+    else:
+        merged = pad_gather_rows(spec_flat)
+        idx = jnp.where(hit, i00, 0)
+
+    q = jax.lax.stop_gradient(merged[idx])  # (..., row_w) — THE one gather
+
+    # Decode the 4 f16 quad taps with straight-through texel grads into the
+    # f32 stack (masked to hit pixels — background rows hold sky words).
+    @jax.custom_vjp
+    def st_taps(qrow, base_, j00, j01, j10, j11, hitf):
+        return (
+            _unpack_f16_words(qrow[..., 0 * nw : 1 * nw], c),
+            _unpack_f16_words(qrow[..., 1 * nw : 2 * nw], c),
+            _unpack_f16_words(qrow[..., 2 * nw : 3 * nw], c),
+            _unpack_f16_words(qrow[..., 3 * nw : 4 * nw], c),
+        )
+
+    def st_fwd(qrow, base_, j00, j01, j10, j11, hitf):
+        return (
+            st_taps(qrow, base_, j00, j01, j10, j11, hitf),
+            (j00, j01, j10, j11, hitf),
+        )
+
+    def st_bwd(res, g):
+        import numpy as np
+
+        j00, j01, j10, j11, hitf = res
+        bf = jnp.zeros((hs * ws, c), jnp.float32)
+        hm = hitf[..., None]
+        for tap_idx, gt in zip((j00, j01, j10, j11), g):
+            bf = bf.at[tap_idx.reshape(-1)].add(
+                (gt * hm).reshape(-1, c), mode="drop"
+            )
+        f0 = jax.dtypes.float0
+        z = lambda a: np.zeros(jnp.shape(a), f0)
+        return (
+            z(q), bf.reshape(base.shape), z(j00), z(j01), z(j10), z(j11),
+            jnp.zeros_like(hitf),
+        )
+
+    st_taps.defvjp(st_fwd, st_bwd)
+    t00, t01, t10, t11 = st_taps(
+        q, base, i00, i01, i10, i11, hit.astype(jnp.float32)
+    )
+    top = t00 * (1.0 - fx) + t01 * fx
+    bot = t10 * (1.0 - fx) + t11 * fx
+    smp_all = top * (1.0 - fy) + bot * fy  # (..., L·3)
+
+    sky_rgb = None
+    if sky_words is not None:
+        def rgb8(word):
+            return jnp.stack(
+                [
+                    (word & 0xFF).astype(jnp.float32),
+                    ((word >> 8) & 0xFF).astype(jnp.float32),
+                    ((word >> 16) & 0xFF).astype(jnp.float32),
+                ],
+                axis=-1,
+            ) * (1.0 / 255.0)
+
+        qs = jax.lax.stop_gradient(q)
+        topk = rgb8(qs[..., 0]) * (1.0 - fxs) + rgb8(qs[..., 1]) * fxs
+        botk = rgb8(qs[..., 2]) * (1.0 - fxs) + rgb8(qs[..., 3]) * fxs
+        sky_rgb = topk * (1.0 - fys) + botk * fys
+
+    return smp_all, sky_rgb
+
+
 def ambient_ibl(
     ibl: IBLMaps,
     n: jnp.ndarray,  # (..., 3) shading normal (unit)

@@ -149,41 +149,62 @@ class PackedCombinedAtlas:
     TWO row gathers (y0 and y1) instead of four corner gathers.
     """
 
-    words: jnp.ndarray  # (P, S, S, 8) uint32: [self ×3 | right ×3 | 0 | 0]
+    words: jnp.ndarray  # (P, S, S, 12) uint32: [self | right | down | dr] ×3
     material_page: jnp.ndarray  # (M,) i32
+    mips_words: jnp.ndarray | None = None  # (R, 12) u32 stacked pyramid
+    num_levels: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def size(self) -> int:
         return self.words.shape[1]
 
+    @property
+    def num_pages(self) -> int:
+        return self.words.shape[0]
 
-def build_combined_packed(
-    materials: MaterialBank, atlas: TextureAtlas
-) -> PackedCombinedAtlas:
-    """Quantize the f32 combined pages to the packed u8 representation."""
+
+def _quad_pack_u8(level16: jnp.ndarray) -> jnp.ndarray:
+    """(P, S, S, ≥12) linear f32 → (P, S, S, 12) u32: sRGB-encoded u8 words
+    (albedo|metallic, specular|roughness, normal|opacity) for the full quad
+    bilinear footprint — one row gather per sample."""
     from .texture import linear_to_srgb
-
-    comb = build_combined(materials, atlas)
-    pages = comb.pages  # (P, S, S, 16) linear f32
 
     def u8(x):
         return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint32)
 
-    albedo = u8(linear_to_srgb(pages[..., 0:3]))
-    spec = u8(linear_to_srgb(pages[..., 3:6]))
-    metal = u8(pages[..., 6])
-    rough = u8(pages[..., 7])
-    normal = u8(pages[..., 8:11])
-    opac = u8(pages[..., 11])
-
+    albedo = u8(linear_to_srgb(level16[..., 0:3]))
+    spec = u8(linear_to_srgb(level16[..., 3:6]))
+    metal = u8(level16[..., 6])
+    rough = u8(level16[..., 7])
+    normal = u8(level16[..., 8:11])
+    opac = u8(level16[..., 11])
     w0 = albedo[..., 0] | (albedo[..., 1] << 8) | (albedo[..., 2] << 16) | (metal << 24)
     w1 = spec[..., 0] | (spec[..., 1] << 8) | (spec[..., 2] << 16) | (rough << 24)
     w2 = normal[..., 0] | (normal[..., 1] << 8) | (normal[..., 2] << 16) | (opac << 24)
     self3 = jnp.stack([w0, w1, w2], axis=-1)  # (P, S, S, 3)
-    right3 = jnp.roll(self3, -1, axis=2)  # u-wrapped right neighbour
-    pad = jnp.zeros(self3.shape[:-1] + (2,), self3.dtype)
-    words = jnp.concatenate([self3, right3, pad], axis=-1)  # (P, S, S, 8)
-    return PackedCombinedAtlas(words=words, material_page=comb.material_page)
+    right3 = jnp.roll(self3, -1, axis=2)
+    down3 = jnp.roll(self3, -1, axis=1)
+    downright3 = jnp.roll(right3, -1, axis=1)
+    return jnp.concatenate([self3, right3, down3, downright3], axis=-1)
+
+
+def build_combined_packed(
+    materials: MaterialBank, atlas: TextureAtlas, num_levels: int | None = None
+) -> PackedCombinedAtlas:
+    """Quantize the f32 combined pages to the packed u8 representation."""
+    comb = build_combined(materials, atlas, num_levels)
+    words = _quad_pack_u8(comb.pages)
+    mips_words = None
+    nl = 1
+    if comb.mips is not None and len(comb.mips) > 1:
+        mips_words = _stack_level_rows([_quad_pack_u8(m) for m in comb.mips])
+        nl = len(comb.mips)
+    return PackedCombinedAtlas(
+        words=words,
+        material_page=comb.material_page,
+        mips_words=mips_words,
+        num_levels=nl,
+    )
 
 
 def _unpack_tap(w: jnp.ndarray) -> jnp.ndarray:
@@ -225,45 +246,42 @@ def sample_combined_packed(
     material_id: jnp.ndarray,
     uv: jnp.ndarray,
     wrap: bool = True,
+    lod: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Bilinear sample of the packed pages: 2 gathers of 8-lane uint32 rows
-    (each row carries its right neighbour — 4 taps from 2 fetches),
-    sRGB-decode per tap, then filter in linear space (RGBA8 HW parity).
-    uv (..., 2) → (..., 12)."""
+    """Bilinear sample of the quad-packed u8 pages: ONE gather of 12-word
+    rows (the whole 2×2 footprint per row), sRGB-decode per tap, then filter
+    in linear space (RGBA8 HW parity). With ``lod`` (and baked mips) a
+    stacked trilinear sample — two gathers. uv (..., 2) → (..., 12)."""
     words = packed.words
     s = words.shape[1]
+    n = words.shape[0]
     page = packed.material_page[material_id]
 
-    x = uv[..., 0] * s - 0.5
-    y = uv[..., 1] * s - 0.5
-    x0f, y0f = jnp.floor(x), jnp.floor(y)
-    fx = (x - x0f)[..., None]
-    fy = (y - y0f)[..., None]
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-    if wrap:
-        x0w = jnp.mod(x0, s)
-        y0w, y1w = jnp.mod(y0, s), jnp.mod(y0 + 1, s)
-    else:
-        # Clamp mode: the paired row's right half is the WRAPPED neighbour,
-        # wrong at the clamped border, so clamp x0 to s-2 (keeping x1=x0+1
-        # in-range) and saturate fx to the edge it was clamped toward —
-        # exactly reproducing sample_combined's duplicate-edge-texel filter.
-        x0w = jnp.clip(x0, 0, s - 2)
-        x0e = x0[..., None]
-        fx = jnp.where(x0e > s - 2, 1.0, jnp.where(x0e < 0, 0.0, fx))
-        y0w, y1w = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
+    def sample_at(flat, sl):
+        i00, _i01, _i10, _i11, fx, fy = _level_quad_indices(
+            n, s, sl, page, uv, wrap
+        )
+        q = flat[i00]  # (..., 12)
+        t00 = _unpack_tap(q[..., 0:3])
+        t01 = _unpack_tap(q[..., 3:6])
+        t10 = _unpack_tap(q[..., 6:9])
+        t11 = _unpack_tap(q[..., 9:12])
+        top = t00 * (1.0 - fx) + t01 * fx
+        bot = t10 * (1.0 - fx) + t11 * fx
+        return top * (1.0 - fy) + bot * fy
 
-    flat = pad_gather_rows(words.reshape(-1, 8))
-    top2 = flat[(page * s + y0w) * s + x0w]  # (..., 8)
-    bot2 = flat[(page * s + y1w) * s + x0w]
-    t00 = _unpack_tap(top2[..., 0:3])
-    t01 = _unpack_tap(top2[..., 3:6])
-    t10 = _unpack_tap(bot2[..., 0:3])
-    t11 = _unpack_tap(bot2[..., 3:6])
-    top = t00 * (1.0 - fx) + t01 * fx
-    bot = t10 * (1.0 - fx) + t11 * fx
-    return top * (1.0 - fy) + bot * fy
+    if lod is not None and packed.num_levels > 1:
+        nl = packed.num_levels
+        flat = pad_gather_rows(packed.mips_words)
+        lodc = jnp.clip(lod, 0.0, nl - 1.0)
+        l0 = jnp.floor(lodc)
+        frac = (lodc - l0)[..., None]
+        l0i = l0.astype(jnp.int32)
+        l1i = jnp.minimum(l0i + 1, nl - 1)
+        t0 = sample_at(flat, jnp.right_shift(s, l0i))
+        t1 = sample_at(flat, jnp.right_shift(s, l1i))
+        return t0 * (1.0 - frac) + t1 * frac
+    return sample_at(pad_gather_rows(words.reshape(-1, 12)), s)
 
 
 @jax.tree_util.register_dataclass
@@ -291,28 +309,52 @@ class HalfCombinedAtlas:
     words: jnp.ndarray  # (P, S, S, 24) u32: [t00 | t01 | t10 | t11] ×6 words
     pages: jnp.ndarray  # (P, S, S, 16) f32 — backward/reference values
     material_page: jnp.ndarray  # (M,) i32
+    mips_words: jnp.ndarray | None = None  # (R, 24) u32 stacked pyramid
+    mips_stack: jnp.ndarray | None = None  # (R, 12) f32 — lod-path grad target
+    num_levels: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def size(self) -> int:
         return self.words.shape[1]
 
+    @property
+    def num_pages(self) -> int:
+        return self.words.shape[0]
 
-def build_combined_half(
-    materials: MaterialBank, atlas: TextureAtlas
-) -> HalfCombinedAtlas:
-    comb = build_combined(materials, atlas)
-    h = comb.pages[..., :12].astype(jnp.float16)  # drop the 4 pad channels
+
+def _quad_pack_f16(level12: jnp.ndarray) -> jnp.ndarray:
+    """(P, S, S, 12) f32 → (P, S, S, 24) u32 quad-f16 words."""
+    h = level12.astype(jnp.float16)
     b = jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
     self6 = b[..., 0::2] | (b[..., 1::2] << 16)  # (P, S, S, 6)
     right6 = jnp.roll(self6, -1, axis=2)  # u-wrapped right neighbour
     down6 = jnp.roll(self6, -1, axis=1)  # v-wrapped down neighbour
     downright6 = jnp.roll(right6, -1, axis=1)
+    return jnp.concatenate([self6, right6, down6, downright6], axis=-1)
+
+
+def build_combined_half(
+    materials: MaterialBank, atlas: TextureAtlas, num_levels: int | None = None
+) -> HalfCombinedAtlas:
+    comb = build_combined(materials, atlas, num_levels)
     # Quad layout: the whole 2×2 bilinear footprint in ONE row → the sample
     # is a single narrow gather (pairing halved 4 f32 gathers to 2; quad
     # halves the row count again — gathers are per-row latency-bound).
-    words = jnp.concatenate([self6, right6, down6, downright6], axis=-1)
+    words = _quad_pack_f16(comb.pages[..., :12])
+    mips_words = mips_stack = None
+    nl = 1
+    if comb.mips is not None and len(comb.mips) > 1:
+        lv12 = [m[..., :12] for m in comb.mips]
+        mips_words = _stack_level_rows([_quad_pack_f16(m) for m in lv12])
+        mips_stack = _stack_level_rows(lv12)
+        nl = len(comb.mips)
     return HalfCombinedAtlas(
-        words=words, pages=comb.pages, material_page=comb.material_page
+        words=words,
+        pages=comb.pages,
+        material_page=comb.material_page,
+        mips_words=mips_words,
+        mips_stack=mips_stack,
+        num_levels=nl,
     )
 
 
@@ -431,16 +473,77 @@ def _half_taps_and_weights(
     return t00, t01, t10, t11, fx, fy
 
 
+def _half_fetch_rows_st(flat24, target12, i00, i01, i10, i11):
+    """Fetch quad-f16 tap rows (ONE gather) from a stacked (R, 24) u32
+    table; tap cotangents scatter straight-through into the matching
+    (R, 12) f32 value table."""
+
+    @jax.custom_vjp
+    def fetch(fl, tgt, j00, j01, j10, j11):
+        q = fl[j00]
+        return (
+            _unpack_half_tap(q[..., 0:6]),
+            _unpack_half_tap(q[..., 6:12]),
+            _unpack_half_tap(q[..., 12:18]),
+            _unpack_half_tap(q[..., 18:24]),
+        )
+
+    def fwd(fl, tgt, j00, j01, j10, j11):
+        return fetch(fl, tgt, j00, j01, j10, j11), (j00, j01, j10, j11)
+
+    def bwd(res, g):
+        import numpy as np
+
+        tf = jnp.zeros(target12.shape, jnp.float32)
+        for idx_, gt in zip(res, g):
+            tf = tf.at[idx_.reshape(-1)].add(gt.reshape(-1, 12), mode="drop")
+        f0 = jax.dtypes.float0
+        z = lambda a: np.zeros(jnp.shape(a), f0)
+        return (z(flat24), tf, z(res[0]), z(res[1]), z(res[2]), z(res[3]))
+
+    fetch.defvjp(fwd, bwd)
+    return fetch(flat24, target12, i00, i01, i10, i11)
+
+
 def sample_combined_half(
     half: HalfCombinedAtlas,
     material_id: jnp.ndarray,
     uv: jnp.ndarray,
     wrap: bool = True,
+    lod: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Bilinear sample of the f16-packed pages (2 gathers), differentiable
-    w.r.t. ``half.pages`` texels (straight-through scatter backward — dead-
-    code-eliminated when texel grads are unused) and ``uv`` (autodiff of the
-    filter weights over the fetched taps). uv (..., 2) → (..., 12)."""
+    """Bilinear sample of the f16-quad-packed pages (ONE gather),
+    differentiable w.r.t. ``half.pages`` texels (straight-through scatter
+    backward — dead-code-eliminated when texel grads are unused) and ``uv``
+    (autodiff of the filter weights over the fetched taps). With ``lod``
+    (and baked mips) a stacked trilinear sample — two gathers, texel grads
+    into ``half.mips_stack``. uv (..., 2) → (..., 12)."""
+    if lod is not None and half.num_levels > 1:
+        nl = half.num_levels
+        n, s = half.num_pages, half.size
+        page = half.material_page[material_id]
+        lodc = jnp.clip(lod, 0.0, nl - 1.0)
+        l0 = jnp.floor(lodc)
+        frac = (lodc - l0)[..., None]
+        l0i = l0.astype(jnp.int32)
+        l1i = jnp.minimum(l0i + 1, nl - 1)
+        flat = pad_gather_rows(half.mips_words)
+
+        def tap_level(li):
+            sl = jnp.right_shift(s, li)
+            i00, i01, i10, i11, fx, fy = _level_quad_indices(
+                n, s, sl, page, uv, wrap
+            )
+            t00, t01, t10, t11 = _half_fetch_rows_st(
+                flat, half.mips_stack, i00, i01, i10, i11
+            )
+            top = t00 * (1.0 - fx) + t01 * fx
+            bot = t10 * (1.0 - fx) + t11 * fx
+            return top * (1.0 - fy) + bot * fy
+
+        return (tap_level(l0i) * (1.0 - frac) + tap_level(l1i) * frac).astype(
+            jnp.float32
+        )
     t00, t01, t10, t11, fx, fy = _half_taps_and_weights(
         half.words, half.pages, half.material_page, material_id, uv, wrap,
         differentiable=True,
@@ -448,6 +551,240 @@ def sample_combined_half(
     top = t00 * (1.0 - fx) + t01 * fx
     bot = t10 * (1.0 - fx) + t11 * fx
     return (top * (1.0 - fy) + bot * fy).astype(jnp.float32)
+
+
+def _quad_pack12(level: jnp.ndarray) -> jnp.ndarray:
+    """(P, S, S, 12) → (P, S, S, 48): the 2×2 bilinear footprint (self |
+    right | down | down-right, u/v wrapped) side by side — one row gather
+    per bilinear sample."""
+    right = jnp.roll(level, -1, axis=2)
+    down = jnp.roll(level, -1, axis=1)
+    downright = jnp.roll(right, -1, axis=1)
+    return jnp.concatenate([level, right, down, downright], axis=-1)
+
+
+def _stack_level_rows(levels: list[jnp.ndarray]) -> jnp.ndarray:
+    """Flatten per-level (P, S_l, S_l, C) arrays into one level-major row
+    table (R, C) — row offsets follow texture._stacked_level_offset."""
+    return jnp.concatenate([m.reshape(-1, m.shape[-1]) for m in levels], axis=0)
+
+
+def _level_quad_indices(n: int, s: int, sl, page, uv, wrap: bool):
+    """Row indices of the 4 bilinear taps at a (possibly per-pixel) mip
+    level of a stacked quad table, plus filter weights. ``sl`` is the
+    per-pixel level size (int array or python int)."""
+    from .texture import _stacked_level_offset
+
+    sl = jnp.asarray(sl, jnp.int32)
+    base = _stacked_level_offset(n, s, sl) + page * (sl * sl)
+    slf = sl.astype(jnp.float32)
+    x = uv[..., 0] * slf - 0.5
+    y = uv[..., 1] * slf - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
+    y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
+    if wrap:
+        x0w, x1w = jnp.mod(x0, sl), jnp.mod(x0 + 1, sl)
+        y0w, y1w = jnp.mod(y0, sl), jnp.mod(y0 + 1, sl)
+    else:
+        # clamp emulation on wrapped quad rows (duplicate-edge-texel filter)
+        hi = jnp.maximum(sl - 2, 0)
+        x0w = jnp.clip(x0, 0, hi)
+        x1w = jnp.minimum(x0w + 1, sl - 1)
+        x0e = x0[..., None]
+        fx = jnp.where(x0e > hi[..., None], 1.0, jnp.where(x0e < 0, 0.0, fx))
+        y0w = jnp.clip(y0, 0, hi)
+        y1w = jnp.minimum(y0w + 1, sl - 1)
+        y0e = y0[..., None]
+        fy = jnp.where(y0e > hi[..., None], 1.0, jnp.where(y0e < 0, 0.0, fy))
+    i00 = base + y0w * sl + x0w
+    i01 = base + y0w * sl + x1w
+    i10 = base + y1w * sl + x0w
+    i11 = base + y1w * sl + x1w
+    return i00, i01, i10, i11, fx, fy
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuadCombinedAtlas:
+    """f32 QUAD-packed combined pages — the EXACT-GRADIENT fast path.
+
+    Each row stores the full 2×2 bilinear footprint (self | right | down |
+    down-right, u/v wrapped) of the 12 live shading channels in f32: a
+    bilinear sample is ONE 48-element row gather. TPU row gathers are
+    latency-bound per ROW and ~width-insensitive (PERF.md gather laws), so
+    this costs the same as the f16 quad fetch while keeping bit-exact f32
+    forward values AND exact texel gradients: the tap fetch carries a custom
+    VJP that scatter-adds tap cotangents into the retained f32 ``pages``
+    (the true filter-weight-times-cotangent gradient, not straight-through —
+    the taps ARE the page values here). 4× the HBM of the f32 pages
+    (4·12·4 B/texel); the speed path for texture optimisation loops."""
+
+    taps: jnp.ndarray  # (P, S, S, 48) f32: [t00 | t01 | t10 | t11] ×12ch
+    pages: jnp.ndarray  # (P, S, S, 16) f32 — scatter target for texel grads
+    material_page: jnp.ndarray  # (M,) i32
+    # Optional stacked quad mip pyramid (level-major rows, incl. level 0):
+    # per-pixel-level taps come back in ONE gather; trilinear = 2 gathers.
+    mips_taps: jnp.ndarray | None = None  # (R, 48) f32
+    mips_stack: jnp.ndarray | None = None  # (R, 12) f32 — lod-path grad target
+    num_levels: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    @property
+    def size(self) -> int:
+        return self.taps.shape[1]
+
+    @property
+    def num_pages(self) -> int:
+        return self.taps.shape[0]
+
+
+def build_combined_quad(
+    materials: MaterialBank, atlas: TextureAtlas, num_levels: int | None = None
+) -> QuadCombinedAtlas:
+    comb = build_combined(materials, atlas, num_levels)
+    p12 = comb.pages[..., :12]
+    taps = _quad_pack12(p12)
+    mips_taps = mips_stack = None
+    nl = 1
+    if comb.mips is not None and len(comb.mips) > 1:
+        lv12 = [m[..., :12] for m in comb.mips]
+        mips_taps = _stack_level_rows([_quad_pack12(m) for m in lv12])
+        mips_stack = _stack_level_rows(lv12)
+        nl = len(comb.mips)
+    return QuadCombinedAtlas(
+        taps=taps,
+        pages=comb.pages,
+        material_page=comb.material_page,
+        mips_taps=mips_taps,
+        mips_stack=mips_stack,
+        num_levels=nl,
+    )
+
+
+def _quad_fetch_rows_st(flat48, target12, i00, i01, i10, i11):
+    """Fetch quad tap rows (ONE gather) from a stacked (R, 48) table, with
+    tap cotangents scattering into the matching (R, 12) f32 value table."""
+
+    @jax.custom_vjp
+    def fetch(fl, tgt, j00, j01, j10, j11):
+        q = fl[j00]
+        return q[..., 0:12], q[..., 12:24], q[..., 24:36], q[..., 36:48]
+
+    def fwd(fl, tgt, j00, j01, j10, j11):
+        return fetch(fl, tgt, j00, j01, j10, j11), (j00, j01, j10, j11)
+
+    def bwd(res, g):
+        import numpy as np
+
+        tf = jnp.zeros(target12.shape, jnp.float32)
+        for idx_, gt in zip(res, g):
+            tf = tf.at[idx_.reshape(-1)].add(gt.reshape(-1, 12), mode="drop")
+        f0 = jax.dtypes.float0
+        z = lambda a: np.zeros(jnp.shape(a), f0)
+        return (z(flat48), tf, z(res[0]), z(res[1]), z(res[2]), z(res[3]))
+
+    fetch.defvjp(fwd, bwd)
+    return fetch(flat48, target12, i00, i01, i10, i11)
+
+
+def sample_combined_quad(
+    quad: QuadCombinedAtlas,
+    material_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    wrap: bool = True,
+    lod: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Bilinear sample of the f32 quad pages: ONE row gather, exact f32
+    forward (identical values to :func:`sample_combined`), exact texel
+    gradients into ``quad.pages``, uv gradients through the filter weights.
+    With ``lod`` (and a baked pyramid) a stacked-quad trilinear sample —
+    TWO row gathers regardless of level count, texel grads into
+    ``quad.mips_stack``. uv (..., 2) → (..., 12)."""
+    if lod is not None and quad.num_levels > 1:
+        nl = quad.num_levels
+        n, s = quad.num_pages, quad.size
+        page = quad.material_page[material_id]
+        lodc = jnp.clip(lod, 0.0, nl - 1.0)
+        l0 = jnp.floor(lodc)
+        frac = (lodc - l0)[..., None]
+        l0i = l0.astype(jnp.int32)
+        l1i = jnp.minimum(l0i + 1, nl - 1)
+        flat = pad_gather_rows(quad.mips_taps)
+
+        def tap_level(li):
+            sl = jnp.right_shift(s, li)
+            i00, i01, i10, i11, fx, fy = _level_quad_indices(
+                n, s, sl, page, uv, wrap
+            )
+            t00, t01, t10, t11 = _quad_fetch_rows_st(
+                flat, quad.mips_stack, i00, i01, i10, i11
+            )
+            top = t00 * (1.0 - fx) + t01 * fx
+            bot = t10 * (1.0 - fx) + t11 * fx
+            return top * (1.0 - fy) + bot * fy
+
+        return tap_level(l0i) * (1.0 - frac) + tap_level(l1i) * frac
+    s = quad.size
+    page = quad.material_page[material_id]
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
+    y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
+    if wrap:
+        x0w, x1w = jnp.mod(x0, s), jnp.mod(x0 + 1, s)
+        y0w, y1w = jnp.mod(y0, s), jnp.mod(y0 + 1, s)
+    else:
+        # Clamp emulation on wrapped quad rows: clip the anchor a texel
+        # early and saturate the filter weight toward the clamped edge —
+        # the duplicate-edge-texel filter of sample_combined (same trick as
+        # _half_taps_and_weights).
+        x0w = jnp.clip(x0, 0, s - 2)
+        x1w = x0w + 1
+        x0e = x0[..., None]
+        fx = jnp.where(x0e > s - 2, 1.0, jnp.where(x0e < 0, 0.0, fx))
+        y0w = jnp.clip(y0, 0, s - 2)
+        y1w = y0w + 1
+        y0e = y0[..., None]
+        fy = jnp.where(y0e > s - 2, 1.0, jnp.where(y0e < 0, 0.0, fy))
+
+    row_t = (page * s + y0w) * s
+    row_b = (page * s + y1w) * s
+    i00 = row_t + x0w
+    i01 = row_t + x1w
+    i10 = row_b + x0w
+    i11 = row_b + x1w
+    flat = pad_gather_rows(quad.taps.reshape(-1, 48))
+    num_texels = quad.pages.shape[0] * s * s
+
+    @jax.custom_vjp
+    def fetch(flat_w, pages_, j00, j01, j10, j11):
+        q = flat_w[j00]  # ONE gather: the whole bilinear footprint
+        return q[..., 0:12], q[..., 12:24], q[..., 24:36], q[..., 36:48]
+
+    def fetch_fwd(flat_w, pages_, j00, j01, j10, j11):
+        return fetch(flat_w, pages_, j00, j01, j10, j11), (j00, j01, j10, j11)
+
+    def fetch_bwd(res, g):
+        import numpy as np
+
+        pf = jnp.zeros((num_texels, NUM_COMBINED), jnp.float32)
+        for idx_, gt in zip(res, g):
+            pf = pf.at[idx_.reshape(-1), :12].add(gt.reshape(-1, 12), mode="drop")
+        f0 = jax.dtypes.float0
+        z = lambda a: np.zeros(jnp.shape(a), f0)
+        return (z(flat), pf.reshape(quad.pages.shape), z(res[0]), z(res[1]),
+                z(res[2]), z(res[3]))
+
+    fetch.defvjp(fetch_fwd, fetch_bwd)
+    t00, t01, t10, t11 = fetch(flat, quad.pages, i00, i01, i10, i11)
+    top = t00 * (1.0 - fx) + t01 * fx
+    bot = t10 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
 
 
 def sample_combined(

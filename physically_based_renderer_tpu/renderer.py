@@ -64,9 +64,11 @@ from .ops.texture_combined import (
     CombinedAtlas,
     HalfCombinedAtlas,
     PackedCombinedAtlas,
+    QuadCombinedAtlas,
     sample_combined,
     sample_combined_half,
     sample_combined_packed,
+    sample_combined_quad,
 )
 
 
@@ -174,26 +176,32 @@ def shade_pixels(
             )
             keep = ~((h_disp > 0.5) & oob)
 
-        # Screen-space mip LOD (render(mip_lod=True)): derivative-based level
-        # selection, the anti-aliasing the reference's 1-mip textures can't
-        # do (WICTextureLoader.h:78). Needs a 2-D (rows, W) pixel layout —
-        # callers with flat pixel batches keep the bilinear mip-0 path.
+        # Screen-space mip LOD (default ON for textured scenes with a baked
+        # pyramid): derivative-based level selection, the anti-aliasing the
+        # reference's 1-mip textures can't do (WICTextureLoader.h:78 — pass
+        # mip_lod=False for exact 1-mip reference parity). Needs a 2-D
+        # (rows, W) pixel layout — flat pixel batches keep bilinear mip 0.
         lod = None
         if mip_lod and uv_t.ndim >= 3:
             from .ops.texture import screen_space_lod
 
-            if combined is not None and not isinstance(combined, PackedCombinedAtlas):
-                lod = screen_space_lod(uv_t, combined.size)
-            elif combined is None and atlas is not None:
+            if combined is not None:
+                if getattr(combined, "num_levels", 1) > 1 or (
+                    isinstance(combined, CombinedAtlas)
+                    and combined.mips is not None
+                ):
+                    lod = screen_space_lod(uv_t, combined.size)
+            elif atlas is not None and atlas.num_levels > 1:
                 lod = screen_space_lod(uv_t, atlas.size)
 
         if combined is not None:
-            # One 4-tap gather for every slot (see ops/texture_combined.py).
+            # One gather for every slot (see ops/texture_combined.py).
             if isinstance(combined, PackedCombinedAtlas):
-                # packed u8 pages are the mip-0 speed path (no pyramid)
-                smp = sample_combined_packed(combined, mid, uv_t)
+                smp = sample_combined_packed(combined, mid, uv_t, lod=lod)
+            elif isinstance(combined, QuadCombinedAtlas):
+                smp = sample_combined_quad(combined, mid, uv_t, lod=lod)
             elif isinstance(combined, HalfCombinedAtlas):
-                smp = sample_combined_half(combined, mid, uv_t)
+                smp = sample_combined_half(combined, mid, uv_t, lod=lod)
             else:
                 smp = sample_combined(combined, mid, uv_t, lod=lod)
             t_diffuse = smp[..., 0:3]
@@ -296,7 +304,7 @@ def render(
     raster_backend: str = "auto",
     gbuf_precision: str = "highest",
     raster_pairs_cap: int | None = None,
-    mip_lod: bool = False,
+    mip_lod: bool | None = None,
 ) -> jnp.ndarray:
     """Render the scene → (rows, W, 4) float32, display-encoded RGBA in [0,1].
 
@@ -307,9 +315,17 @@ def render(
     ``raster_backend``: "auto" (Pallas kernel on TPU, jnp tiled elsewhere),
     "pallas", "pallas_interpret", "pallas_gbuf" / "pallas_gbuf_interpret"
     (fused raster+interpolation kernel), "jnp", or "brute" (O(H·W·T) oracle
-    for tiny CPU reference renders)."""
+    for tiny CPU reference renders).
+
+    ``mip_lod``: None (default) resolves to True for textured scenes whose
+    texture representation carries a mip pyramid — screen-space-derivative
+    trilinear filtering, the minification anti-aliasing the reference's
+    1-mip texture loads cannot do (``WICTextureLoader.h:78``). Pass False
+    for exact 1-mip reference parity (the oracle-comparison mode)."""
     if rows is None:
         rows = height
+    if mip_lod is None:
+        mip_lod = scene.atlas is not None
     # Corner-major geometry (models/scene.py CornerGeometry): the hot path
     # carries no vertex indices, so raster setup / binning / interpolation
     # run gather-free. Static channel specialisation (the shader-permutation
@@ -330,6 +346,14 @@ def render(
     num_tris = geom.pos_w.shape[0]
     span_wide = num_tris <= (1 << 15)
 
+    sky_src0 = scene.sky_map if scene.sky_map is not None else scene.env_map
+    ibl_fusable = (
+        not textured
+        and scene.ibl is not None
+        and not scene.materials.any_alpha_test
+        and scene.ibl.irradiance_sh9 is not None
+        and scene.ibl.specular_stack_f16 is not None
+    )
     backend = raster_backend
     if backend == "auto":
         if jax.default_backend() == "cpu":
@@ -342,11 +366,105 @@ def render(
             # Analytic-material scenes take the fully-fused raster+shade
             # kernel (no G-buffer HBM round trip, no XLA shade/tonemap tail).
             backend = "pallas_shade"
+        elif ibl_fusable:
+            # Untextured + IBL (the north-star config): fused kernel computes
+            # direct + SH9 diffuse + env-BRDF factor in-kernel; specular
+            # prefilter and sky share ONE merged row gather outside.
+            backend = "pallas_shade_ibl"
         else:
             backend = "pallas_gbuf"
 
     fused_gbuf = backend in ("pallas_gbuf", "pallas_gbuf_interpret")
     fused_shade = backend in ("pallas_shade", "pallas_shade_interpret")
+    fused_ibl = backend in ("pallas_shade_ibl", "pallas_shade_ibl_interpret")
+    if fused_ibl:
+        assert ibl_fusable, (
+            "pallas_shade_ibl needs an untextured scene with IBLMaps carrying "
+            "irradiance_sh9 + specular_stack_f16 and no alpha test"
+        )
+        materials = scene.materials
+        mat_props = jnp.concatenate(
+            [
+                materials.diffuse,
+                materials.metallic[:, None],
+                materials.fresnel_r0,
+                materials.roughness[:, None],
+                materials.opacity[:, None],
+            ],
+            axis=-1,
+        )  # (M, 9)
+        lights = scene.lights
+        chan, tri_id, _pix_mat = raster_pallas.raster_shade_ibl(
+            clip,
+            packed,
+            geom.face_material,
+            mat_props,
+            lights.strength,
+            lights.direction,
+            lights.position,
+            lights.spot_power,
+            scene.ambient,
+            camera.position,
+            scene.ibl.irradiance_sh9,
+            width=width,
+            height=height,
+            rows=rows,
+            y_offset=y_offset,
+            tile_h=tile_h if tile_h is not None else 4,
+            tile_w=tile_w,
+            max_span=64 if span_wide else 16,
+            cull_backface=cull_backface,
+            num_materials=materials.num_materials,
+            num_dir=lights.num_dir,
+            num_point=lights.num_point,
+            num_spot=lights.num_spot,
+            pairs_cap=raster_pairs_cap,
+            interpret=(backend == "pallas_shade_ibl_interpret"),
+            mm_precision=gbuf_precision,
+        )
+        hit = tri_id >= 0
+        hdr_partial = chan[..., 0:3]
+        spec_f = chan[..., 3:6]
+        rdir = chan[..., 6:9]
+        rough = chan[..., 9]
+        opacity = chan[..., 10]
+
+        from .ops.ibl import sample_spec_sky_merged, specular_levels_lerp
+        from .ops.sky import world_to_sky_uv
+
+        if sky_src0 is not None and sky_src0.dtype == jnp.uint32:
+            # Quad-u8 LDR background: sky rows ride the SAME gather as the
+            # specular prefilter (foreground/background rows are mutually
+            # exclusive) — the whole ambient-environment tail is one gather.
+            inv_vp = math3d.inverse(vp)
+            dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
+            sky_uv = world_to_sky_uv(dirs)
+            smp_all, sky_rgb = sample_spec_sky_merged(
+                scene.ibl, rdir, hit, sky_src0, sky_uv
+            )
+            bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+        elif sky_src0 is not None:
+            smp_all, _ = sample_spec_sky_merged(scene.ibl, rdir, hit, None, None)
+            inv_vp = math3d.inverse(vp)
+            dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
+            sky_rgb = sky_ops.sample_sky(sky_src0, dirs)
+            bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+        else:
+            smp_all, _ = sample_spec_sky_merged(scene.ibl, rdir, hit, None, None)
+            bg_rgb = jnp.broadcast_to(scene.clear_color, (rows, width, 3))
+        # Background rows of the merged gather hold sky words — their f16
+        # reinterpretation can be inf/NaN, and 0·NaN would poison the
+        # composite, so mask BEFORE any arithmetic.
+        smp_all = jnp.where(hit[..., None], smp_all, 0.0)
+        prefiltered = specular_levels_lerp(
+            smp_all, rough, scene.ibl.num_specular_levels
+        )
+        hdr = hdr_partial + spec_f * prefiltered
+        fg_rgb = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
+        m = hit[..., None].astype(jnp.float32)
+        rgb = m * fg_rgb + (1.0 - m) * bg_rgb
+        alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
+        return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
     if fused_shade:
         assert not textured and scene.ibl is None, (
             "pallas_shade fuses the untextured constant-material shader only"

@@ -89,7 +89,11 @@ def test_mip_lod_reduces_minification_aliasing():
     pixel-to-pixel variance), derivative LOD integrates toward the mean."""
     scene = _checker_scene()
     cam = Camera.create(position=(0.0, 0.0, -6.0), aspect=1.0)
-    img0 = np.asarray(render(scene, cam, width=96, height=96))[..., 0]
+    # mip_lod=False = the reference's 1-mip parity mode (the default is now
+    # mips ON for textured scenes)
+    img0 = np.asarray(
+        render(scene, cam, width=96, height=96, mip_lod=False)
+    )[..., 0]
     img1 = np.asarray(
         render(scene, cam, width=96, height=96, mip_lod=True)
     )[..., 0]

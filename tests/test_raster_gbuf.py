@@ -32,9 +32,13 @@ def test_gbuf_forward_matches_jnp_analytic():
 def test_gbuf_forward_matches_jnp_textured():
     scene = _textured_scene()
     cam = Camera.create(aspect=W / H)
-    a = np.asarray(render(scene, cam, width=W, height=H, raster_backend="jnp"))
+    a = np.asarray(
+        render(scene, cam, width=W, height=H, raster_backend="jnp",
+               mip_lod=False)
+    )
     b = np.asarray(
-        render(scene, cam, width=W, height=H, raster_backend="pallas_gbuf_interpret")
+        render(scene, cam, width=W, height=H,
+               raster_backend="pallas_gbuf_interpret", mip_lod=False)
     )
     diff = np.abs(a - b)
     # Plane-evaluated vs bary-interpolated UVs differ by fp32 ulps; where a
@@ -43,6 +47,19 @@ def test_gbuf_forward_matches_jnp_textured():
     assert (diff > 1e-5).mean() < 1e-3, f"{(diff > 1e-5).mean():.5%} pixels off"
     assert diff.max() < 1e-2
     assert np.median(diff) < 1e-6
+    # With mips ON (the textured default) the uv ulps also shift the
+    # derivative-based lod, moving a few more boundary taps a level — still
+    # bounded, just looser.
+    am = np.asarray(render(scene, cam, width=W, height=H, raster_backend="jnp"))
+    bm = np.asarray(
+        render(scene, cam, width=W, height=H,
+               raster_backend="pallas_gbuf_interpret")
+    )
+    dm = np.abs(am - bm)
+    assert (dm > 1e-5).mean() < 5e-3, f"{(dm > 1e-5).mean():.5%} pixels off"
+    # isolated pixels may flip a whole mip level (lod at an integer
+    # boundary) — bound the bulk, not the max
+    assert np.quantile(dm, 0.999) < 1e-2
 
 
 def test_gbuf_band_matches_full_frame():

@@ -68,11 +68,22 @@ def test_combined_texel_gradients():
     def loss(pages):
         c = dataclasses.replace(scene.combined_atlas, pages=pages)
         s = dataclasses.replace(scene, combined_atlas=c)
-        return jnp.mean(render(s, cam, width=W, height=H)[..., :3])
+        # mip_lod=False: the 1-mip path samples `pages` directly (the lod
+        # path samples the baked `mips` pyramid instead — tested below)
+        return jnp.mean(render(s, cam, width=W, height=H, mip_lod=False)[..., :3])
 
     g = jax.grad(loss)(scene.combined_atlas.pages)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+    def loss_mips(mips):
+        c = dataclasses.replace(scene.combined_atlas, mips=mips)
+        s = dataclasses.replace(scene, combined_atlas=c)
+        return jnp.mean(render(s, cam, width=W, height=H)[..., :3])  # lod on
+
+    gm = jax.grad(loss_mips)(scene.combined_atlas.mips)
+    assert all(np.isfinite(np.asarray(g_)).all() for g_ in gm)
+    assert sum(float(jnp.abs(g_).sum()) for g_ in gm) > 0
 
 
 def test_parallax_displacement():
@@ -248,3 +259,51 @@ def test_packed_combined_render_close():
     assert np.percentile(d, 99.5) < 0.02, np.percentile(d, 99.5)
     assert d.mean() < 1e-3, d.mean()
     assert (d > 0.05).mean() < 2e-3
+
+
+def test_quad_combined_exact_forward_and_gradients():
+    """f32 quad-packed pages: BIT-exact forward vs the 4-gather f32 path and
+    identical texel/uv gradients — the fast EXACT path (one row gather)."""
+    scene = _textured_scene()
+    from physically_based_renderer_tpu.ops.texture_combined import (
+        build_combined,
+        build_combined_quad,
+        sample_combined,
+        sample_combined_quad,
+    )
+
+    comb = build_combined(scene.materials, scene.atlas)
+    quad = build_combined_quad(scene.materials, scene.atlas)
+    rng = np.random.default_rng(11)
+    uv = jnp.asarray(rng.uniform(-0.5, 1.5, size=(257, 2)), jnp.float32)
+    mids = jnp.asarray(rng.integers(0, scene.materials.num_materials, size=257))
+
+    for wrap in (True, False):
+        a = np.asarray(sample_combined(comb, mids, uv, wrap=wrap))[..., :12]
+        b = np.asarray(sample_combined_quad(quad, mids, uv, wrap=wrap))
+        # identical f32 taps and weights; only XLA fma-fusion order differs
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+    def loss_f32(pages, uv_):
+        c = dataclasses.replace(comb, pages=pages)
+        return jnp.sum(sample_combined(c, mids, uv_)[..., :12] ** 2)
+
+    def loss_quad(pages, uv_):
+        q = dataclasses.replace(quad, pages=pages)
+        return jnp.sum(sample_combined_quad(q, mids, uv_) ** 2)
+
+    g32 = jax.grad(loss_f32, argnums=(0, 1))(comb.pages, uv)
+    gq = jax.grad(loss_quad, argnums=(0, 1))(quad.pages, uv)
+    for a_, b_ in zip(g32, gq):
+        sc = max(float(jnp.abs(a_).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                   atol=1e-6 * sc, rtol=1e-5)
+
+
+def test_quad_combined_render_matches_f32():
+    scene32 = _textured_scene().with_combined_textures()
+    sceneq = _textured_scene().with_combined_textures(mode="quad")
+    cam = Camera.create(aspect=W / H)
+    a = np.asarray(render(scene32, cam, width=W, height=H))
+    b = np.asarray(render(sceneq, cam, width=W, height=H))
+    np.testing.assert_allclose(b, a, atol=3e-6)  # fma-order ulps only
