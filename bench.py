@@ -113,6 +113,54 @@ def time_sharded_overhead(scene, camera, iters=ITERS):
     return loop(shmap) / loop(plain)
 
 
+def time_sharded_train_overhead(scene, camera, iters=ITERS):
+    """Single-chip shard_map TRAIN-STEP vs plain fwd+bwd step — the proxy
+    that includes the scaling-relevant backward psum gradient all-reduce
+    (the ≥80% multi-host gate is about exactly this path), not just the
+    forward render. ≤~1.0 means the sharding machinery (shard_map partition
+    + grad psum) is free at n=1."""
+    from physically_based_renderer_tpu.parallel import sharded
+    from physically_based_renderer_tpu.renderer import render
+
+    mesh = sharded.make_render_mesh(jax.devices()[:1])
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+    sh_step = sharded.make_train_step(mesh=mesh, width=WIDTH, height=HEIGHT)
+
+    def plain_step(sc, cam, tgt):
+        def loss_fn(materials):
+            s = dataclasses.replace(sc, materials=materials)
+            img = render(s, cam, width=WIDTH, height=HEIGHT)
+            return jnp.mean((img[..., :3] - tgt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(sc.materials)
+        new_mats = jax.tree.map(
+            lambda p, g: p - 0.1 * g
+            if jnp.issubdtype(p.dtype, jnp.floating)
+            else p,
+            sc.materials,
+            grads,
+        )
+        return dataclasses.replace(sc, materials=new_mats), loss
+
+    def loop(step_fn):
+        @jax.jit
+        def run(sc, cam, tgt):
+            def body(carry, _):
+                cam2 = dataclasses.replace(cam, position=cam.position + carry * 0.0)
+                _s2, loss = step_fn(sc, cam2, tgt)
+                return carry + loss * 0.0 + 1e-12, None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return acc
+
+        float(run(scene, camera, target))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(scene, camera, target))
+        return (time.perf_counter() - t0) / iters
+
+    return loop(sh_step) / loop(jax.jit(plain_step))
+
+
 def _run_config(name: str) -> None:
     """Measure ONE config and print its JSON line. Invoked in a fresh
     subprocess per config: the axon tunnel's device state is not reliably
@@ -131,9 +179,16 @@ def _run_config(name: str) -> None:
         scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
         cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
         value = time_sharded_overhead(scene, cam)
+    elif name == "sharded_train_overhead_1chip":
+        scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
+        cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
+        value = time_sharded_train_overhead(scene, cam)
     elif name == "pbr_textured_f32":
+        # mode="quad": f32 QUAD-packed pages — ONE row gather per sample
+        # with bit-exact f32 forward AND exact texel gradients (the same
+        # values/grads as the 4-gather f32 path, tests pin equality).
         assets = scenes.AssetCache()
-        scene = scenes.pbr_scene(assets=assets).with_combined_textures()
+        scene = scenes.pbr_scene(assets=assets).with_combined_textures(mode="quad")
         cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
         value = time_fwd_bwd(scene, cam)
     elif name == "pbr_textured_half":
@@ -160,6 +215,7 @@ def _run_config(name: str) -> None:
 CONFIGS = [
     "sphere_grid_analytic",
     "sharded_overhead_1chip",
+    "sharded_train_overhead_1chip",
     "pbr_textured_f32",
     "pbr_textured_half",
     "mori_knob_ibl",
@@ -183,6 +239,7 @@ def main() -> None:
         if not have_assets and name not in (
             "sphere_grid_analytic",
             "sharded_overhead_1chip",
+            "sharded_train_overhead_1chip",
         ):
             continue
         try:

@@ -152,6 +152,8 @@ def pack_triangle_fields(
         "pairs_cap",
         "chunk",
         "big_cap",
+        "big2_span",
+        "big2_cap",
         "bbox_margin_px",
     ),
 )
@@ -170,6 +172,8 @@ def bin_triangles(
     face_material: jnp.ndarray | None = None,
     corner_channels: jnp.ndarray | None = None,
     big_cap: int | None = None,
+    big2_span: int = 0,
+    big2_cap: int | None = None,
     bbox_margin_px: float = 0.0,
 ) -> BinnedTris:
     """Bin into the tile grid of the row band [y_offset, y_offset+rows) of a
@@ -229,15 +233,27 @@ def bin_triangles(
     #   * 2 < span ≤ max_span → a compacted "big" block: the big triangles
     #                  are ranked by one T-key sort and the first big_cap
     #                  of them emit max_span dense slots each.
-    #   * span > max_span, or big-block overflow → jumbo: ONE slot with
-    #                  tile key −1, sorting to the front — a global run
-    #                  every tile processes.
+    #   * max_span < span ≤ big2_span (when enabled) → a second, smaller
+    #                  compacted block of big2_span dense slots — catches
+    #                  the tail of mid-size triangles that would otherwise
+    #                  go jumbo. A jumbo run taxes EVERY tile (the kernel's
+    #                  global rescan): on the 12k-tri mori_knob view, 109
+    #                  jumbos at max_span=64 put one extra chunk in front
+    #                  of all ~4000 tiles — ~40% of the kernel's work for a
+    #                  floor-dominated scene (round-4 profiling).
+    #   * beyond, or block overflow → jumbo: ONE slot with tile key −1,
+    #                  sorting to the front — a global run every tile
+    #                  processes.
     # Classes are disjoint for every max_span value: span≤2 triangles always
     # take the exact 2-slot path (even when max_span < 2), so the jumbo
     # threshold is effectively max(2, max_span).
     small2 = valid & (span <= 2)
     big = valid & (span > 2) & (span <= max_span)
     jumbo = valid & (span > max(2, max_span))
+    big2 = None
+    if big2_span > max_span:
+        big2 = jumbo & (span <= big2_span)
+        jumbo = jumbo & (span > big2_span)
 
     if big_cap is None:
         if max_span >= 32:
@@ -267,6 +283,17 @@ def bin_triangles(
         spilled = jnp.zeros_like(big)
     jumbo_all = jumbo | spilled
 
+    if big2 is not None:
+        bc2 = min(big2_cap if big2_cap is not None else 512, num_t)
+        b2sort = jnp.sort(jnp.where(big2, tri_ids, tri_ids + num_t))
+        b2tri = b2sort[:bc2] % num_t
+        b2valid = b2sort[:bc2] < num_t
+        rank2 = jnp.cumsum(big2.astype(jnp.int32)) - 1
+        spilled2 = big2 & (rank2 >= bc2)
+        jumbo_all = jumbo_all | spilled2
+    else:
+        spilled2 = None
+
     tile_first = ty0 * ntx + tx0
     tile_last = ty1 * ntx + tx1
     k0_tile = jnp.where(
@@ -288,18 +315,35 @@ def bin_triangles(
     bok = bvalid[:, None] & (ks < bg[:, 3:4])
     kb_tile = jnp.where(bok, btile, SENT - 1)
 
-    slot_tiles = jnp.concatenate(
-        [k0_tile, k1_tile, kb_tile.reshape(-1)]
-    )  # (slots,)
-    slot_tris = jnp.concatenate(
-        [tri_ids, tri_ids, jnp.broadcast_to(btri[:, None], kb_tile.shape).reshape(-1)]
-    )
+    tile_parts = [k0_tile, k1_tile, kb_tile.reshape(-1)]
+    tri_parts = [
+        tri_ids,
+        tri_ids,
+        jnp.broadcast_to(btri[:, None], kb_tile.shape).reshape(-1),
+    ]
+    if big2 is not None:
+        bg2 = btab[b2tri]  # (bc2, 8)
+        ks2 = jnp.arange(big2_span, dtype=jnp.int32)[None, :]
+        bw2 = jnp.maximum(bg2[:, 2:3], 1)
+        r2 = ks2 // bw2
+        c2 = ks2 % bw2
+        b2tile = (bg2[:, 1:2] + r2) * ntx + (bg2[:, 0:1] + c2)
+        b2ok = b2valid[:, None] & (ks2 < bg2[:, 3:4])
+        kb2_tile = jnp.where(b2ok, b2tile, SENT - 1)
+        tile_parts.append(kb2_tile.reshape(-1))
+        tri_parts.append(
+            jnp.broadcast_to(b2tri[:, None], kb2_tile.shape).reshape(-1)
+        )
+    slot_tiles = jnp.concatenate(tile_parts)  # (slots,)
+    slot_tris = jnp.concatenate(tri_parts)
 
     total = (
         jnp.sum(jnp.where(small2, jnp.minimum(span, 2), 0))
         + jnp.sum(jnp.where(big & ~spilled, span, 0))
         + jnp.sum(jumbo_all.astype(jnp.int32))
     )
+    if big2 is not None:
+        total = total + jnp.sum(jnp.where(big2 & ~spilled2, span, 0))
     overflowed = total > pairs_cap
     # Overflow is NOT silent: pairs past the cap are dropped (triangles go
     # missing in some tiles), so warn loudly from inside the jitted program

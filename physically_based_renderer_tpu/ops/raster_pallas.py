@@ -253,8 +253,11 @@ def _raster_tile_gbuf_kernel(
         k += 1
     out_id_ref, out_gb_ref = rest[k], rest[k + 1]
     k += 2
-    fbuf, ibuf, fsem, isem, best_z, best_id, best_f = rest[k : k + 7]
+    fbuf, ibuf, fsem, isem, best_z, best_id, best_f, jbuf, jibuf, jsem = rest[
+        k : k + 10
+    ]
     p = tile_h * tile_w
+    jpad = jbuf.shape[-1]
     i = pl.program_id(0)
     ty = i // tiles_x
     tx = i % tiles_x
@@ -272,6 +275,61 @@ def _raster_tile_gbuf_kernel(
     zf = zfloor_ref[:].reshape(p, 1) if has_zfloor else None
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def eval_chunk(f, tid, nvalid):
+        dx = px - f[9:10, :]  # (P, CHUNK)
+        dy = py - f[10:11, :]
+        e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
+        e1 = dx * f[1:2, :] + dy * f[4:5, :] + f[7:8, :]
+        e2 = dx * f[2:3, :] + dy * f[5:6, :] + f[8:9, :]
+        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+        z = dx * f[11:12, :] + dy * f[12:13, :] + f[13:14, :]
+
+        in_run = lane < nvalid
+        ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
+        if has_zfloor:
+            ok &= z > zf  # depth peeling: strictly-behind-floor only
+        zm = jnp.where(ok, z, jnp.inf)
+
+        zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
+        if mat_stride > 1:
+            code = tid * mat_stride + f[14:15, :].astype(jnp.int32)
+        else:
+            code = tid
+        win_id = jnp.min(
+            jnp.where(zm <= zmin, code, jnp.int32(0x7FFFFFFF)),
+            axis=1,
+            keepdims=True,
+        )
+        # Exactly ONE winning lane: duplicate pairs of the same triangle
+        # (identical z and code, possible in the chunk-aligned prefix)
+        # are broken by smallest lane index — a 2nd reduction, so the
+        # one-hot below sums to ≤1 and the matmul never double-counts.
+        is_win = (zm <= zmin) & (code == win_id)
+        win_lane = jnp.min(
+            jnp.where(is_win, lane, jnp.int32(0x7FFFFFFF)),
+            axis=1,
+            keepdims=True,
+        )
+        onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
+        # Winner-field extraction as a one-hot MXU matmul. Precision is a
+        # caller knob: HIGHEST reproduces f32 attributes exactly (6 MXU
+        # passes); HIGH is ~f32 to 1e-6 at half the cost; DEFAULT rounds
+        # the selected field rows to bf16 (~0.4% — below the u8 output
+        # quantization step, invisible in images). The one-hot side is
+        # exact at every precision.
+        cand = jax.lax.dot_general(
+            onehot,
+            f,
+            (((1,), (1,)), ((), ())),
+            precision=mm_precision,
+            preferred_element_type=jnp.float32,
+        )  # (P, NF) — the winning lane's field row
+
+        better = zmin < best_z[:]
+        best_z[:] = jnp.where(better, zmin, best_z[:])
+        best_id[:] = jnp.where(better, win_id, best_id[:])
+        best_f[:] = jnp.where(better, cand, best_f[:])
 
     def process_range(lo, hi):
         lo_a = (lo // CHUNK) * CHUNK
@@ -304,62 +362,7 @@ def _raster_tile_gbuf_kernel(
             fw.wait()
             iw.wait()
             base = pl.multiple_of(lo_a + j * CHUNK, CHUNK)
-
-            f = fbuf[slot]  # (NF, CHUNK)
-            dx = px - f[9:10, :]  # (P, CHUNK)
-            dy = py - f[10:11, :]
-            e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
-            e1 = dx * f[1:2, :] + dy * f[4:5, :] + f[7:8, :]
-            e2 = dx * f[2:3, :] + dy * f[5:6, :] + f[8:9, :]
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-            z = dx * f[11:12, :] + dy * f[12:13, :] + f[13:14, :]
-
-            tid = ibuf[slot]  # (1, CHUNK)
-            in_run = lane < (hi - base)
-            ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
-            if has_zfloor:
-                ok &= z > zf  # depth peeling: strictly-behind-floor only
-            zm = jnp.where(ok, z, jnp.inf)
-
-            zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
-            if mat_stride > 1:
-                code = tid * mat_stride + f[14:15, :].astype(jnp.int32)
-            else:
-                code = tid
-            win_id = jnp.min(
-                jnp.where(zm <= zmin, code, jnp.int32(0x7FFFFFFF)),
-                axis=1,
-                keepdims=True,
-            )
-            # Exactly ONE winning lane: duplicate pairs of the same triangle
-            # (identical z and code, possible in the chunk-aligned prefix)
-            # are broken by smallest lane index — a 2nd reduction, so the
-            # one-hot below sums to ≤1 and the matmul never double-counts.
-            is_win = (zm <= zmin) & (code == win_id)
-            win_lane = jnp.min(
-                jnp.where(is_win, lane, jnp.int32(0x7FFFFFFF)),
-                axis=1,
-                keepdims=True,
-            )
-            onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
-            # Winner-field extraction as a one-hot MXU matmul. Precision is a
-            # caller knob: HIGHEST reproduces f32 attributes exactly (6 MXU
-            # passes); HIGH is ~f32 to 1e-6 at half the cost; DEFAULT rounds
-            # the selected field rows to bf16 (~0.4% — below the u8 output
-            # quantization step, invisible in images). The one-hot side is
-            # exact at every precision.
-            cand = jax.lax.dot_general(
-                onehot,
-                f,
-                (((1,), (1,)), ((), ())),
-                precision=mm_precision,
-                preferred_element_type=jnp.float32,
-            )  # (P, NF) — the winning lane's field row
-
-            better = zmin < best_z[:]
-            best_z[:] = jnp.where(better, zmin, best_z[:])
-            best_id[:] = jnp.where(better, win_id, best_id[:])
-            best_f[:] = jnp.where(better, cand, best_f[:])
+            eval_chunk(fbuf[slot], ibuf[slot], hi - base)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -367,32 +370,73 @@ def _raster_tile_gbuf_kernel(
     g_end = starts_ref[0]
     s0 = starts_ref[i]
     s1 = starts_ref[i + 1]
+    nonempty = (g_end > 0) | (s1 > s0)
 
-    @pl.when(g_end > 0)
+    # Jumbo-run residency: shared pairs [0, g_end) are DMA'd into VMEM once
+    # at the first grid step and evaluated with zero per-tile DMA (see the
+    # fused shade kernel for rationale).
+    @pl.when((i == 0) & (g_end > 0))
     def _():
-        process_range(0, g_end)
+        jf = pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(0, jpad)], jbuf, jsem.at[0]
+        )
+        ji = pltpu.make_async_copy(
+            ids_ref.at[:, pl.ds(0, jpad)], jibuf, jsem.at[1]
+        )
+        jf.start()
+        ji.start()
+        jf.wait()
+        ji.wait()
 
-    @pl.when(s1 > s0)
+    @pl.when(nonempty)
     def _():
-        process_range(s0, s1)
+        @pl.when(g_end > 0)
+        def _():
+            nj = jnp.minimum(g_end, jpad)
+            njc = (nj + CHUNK - 1) // CHUNK
 
-    # Evaluate the winner's attribute planes at the pixel centers.
-    bf = best_f[:]  # (P, NF)
-    dxp = px - bf[:, 9:10]
-    dyp = py - bf[:, 10:11]
-    a0 = GBUF_FIELD0
-    planes = (
-        bf[:, a0 : a0 + num_ch] * dxp
-        + bf[:, a0 + num_ch : a0 + 2 * num_ch] * dyp
-        + bf[:, a0 + 2 * num_ch : a0 + 3 * num_ch]
-    )  # (P, CH): [attr·(1/w) … , 1/w]
-    invw = planes[:, num_ch - 1 : num_ch]
-    attrs = planes[:, : num_ch - 1] / jnp.where(jnp.abs(invw) > 1e-20, invw, 1.0)
-    depth = bf[:, 11:12] * dxp + bf[:, 12:13] * dyp + bf[:, 13:14]
-    hit = best_id[:] >= 0
-    gb = jnp.concatenate([attrs, depth], axis=-1)  # (P, C+1)
-    out_gb_ref[:] = jnp.where(hit, gb, 0.0).reshape(1, p, num_ch)
-    out_id_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
+            def jbody(c, _):
+                b = pl.multiple_of(c * CHUNK, CHUNK)
+                eval_chunk(
+                    jbuf[:, pl.ds(b, CHUNK)], jibuf[:, pl.ds(b, CHUNK)], nj - b
+                )
+                return 0
+
+            jax.lax.fori_loop(0, njc, jbody, 0)
+
+        @pl.when(g_end > jpad)
+        def _():
+            process_range(jpad, g_end)
+
+        @pl.when(s1 > s0)
+        def _():
+            process_range(s0, s1)
+
+        # Evaluate the winner's attribute planes at the pixel centers.
+        bf = best_f[:]  # (P, NF)
+        dxp = px - bf[:, 9:10]
+        dyp = py - bf[:, 10:11]
+        a0 = GBUF_FIELD0
+        planes = (
+            bf[:, a0 : a0 + num_ch] * dxp
+            + bf[:, a0 + num_ch : a0 + 2 * num_ch] * dyp
+            + bf[:, a0 + 2 * num_ch : a0 + 3 * num_ch]
+        )  # (P, CH): [attr·(1/w) … , 1/w]
+        invw = planes[:, num_ch - 1 : num_ch]
+        attrs = planes[:, : num_ch - 1] / jnp.where(
+            jnp.abs(invw) > 1e-20, invw, 1.0
+        )
+        depth = bf[:, 11:12] * dxp + bf[:, 12:13] * dyp + bf[:, 13:14]
+        hit = best_id[:] >= 0
+        gb = jnp.concatenate([attrs, depth], axis=-1)  # (P, C+1)
+        out_gb_ref[:] = jnp.where(hit, gb, 0.0).reshape(1, p, num_ch)
+        out_id_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
+
+    # Empty tile: background output, no resolve/interpolation work.
+    @pl.when(jnp.logical_not(nonempty))
+    def _():
+        out_gb_ref[:] = jnp.zeros_like(out_gb_ref)
+        out_id_ref[:] = jnp.full_like(out_id_ref, -1)
 
 
 @functools.partial(
@@ -406,6 +450,8 @@ def _raster_tile_gbuf_kernel(
         "max_span",
         "pairs_cap",
         "big_cap",
+        "big2_span",
+        "big2_cap",
         "cull_backface",
         "num_materials",
         "interpret",
@@ -426,6 +472,8 @@ def rasterize_binned(
     max_span: int = 8,
     pairs_cap: int | None = None,
     big_cap: int | None = None,
+    big2_span: int = 0,
+    big2_cap: int | None = None,
     cull_backface: bool = True,
     tri_mask: jnp.ndarray | None = None,
     face_material: jnp.ndarray | None = None,
@@ -484,6 +532,8 @@ def rasterize_binned(
         max_span=max_span,
         pairs_cap=pairs_cap,
         big_cap=big_cap,
+        big2_span=big2_span,
+        big2_cap=big2_cap,
         chunk=CHUNK,
         face_material=face_material if encode_material else None,
         bbox_margin_px=edge_margin_px,
@@ -588,6 +638,8 @@ def rasterize_binned(
         "max_span",
         "pairs_cap",
         "big_cap",
+        "big2_span",
+        "big2_cap",
         "cull_backface",
         "num_materials",
         "interpret",
@@ -608,6 +660,8 @@ def rasterize_binned_gbuffer(
     max_span: int = 8,
     pairs_cap: int | None = None,
     big_cap: int | None = None,
+    big2_span: int = 0,
+    big2_cap: int | None = None,
     cull_backface: bool = True,
     tri_mask: jnp.ndarray | None = None,
     face_material: jnp.ndarray | None = None,
@@ -669,6 +723,8 @@ def rasterize_binned_gbuffer(
         max_span=max_span,
         pairs_cap=pairs_cap,
         big_cap=big_cap,
+        big2_span=big2_span,
+        big2_cap=big2_cap,
         chunk=CHUNK,
         face_material=face_material if encode_material else None,
         corner_channels=corner_channels,
@@ -695,6 +751,7 @@ def rasterize_binned_gbuffer(
             _tile_zfloor(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w)
         )
 
+    jpad = max(CHUNK, min(8 * CHUNK, binned.packed.shape[1] // CHUNK * CHUNK))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
@@ -715,6 +772,9 @@ def rasterize_binned_gbuffer(
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, 1), jnp.int32),
             pltpu.VMEM((p, nf), jnp.float32),
+            pltpu.VMEM((nf, jpad), jnp.float32),  # resident jumbo fields
+            pltpu.VMEM((1, jpad), jnp.int32),  # resident jumbo tri ids
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -834,8 +894,11 @@ def _raster_tile_shade_kernel(
     if want_gbuf:
         out_gb_ref = rest[k]
         k += 1
-    fbuf, ibuf, fsem, isem, best_z, best_id, best_f = rest[k : k + 7]
+    fbuf, ibuf, fsem, isem, best_z, best_id, best_f, jbuf, jibuf, jsem = rest[
+        k : k + 10
+    ]
     p = tile_h * tile_w
+    jpad = jbuf.shape[-1]
     i = pl.program_id(0)
     ty = i // tiles_x
     tx = i % tiles_x
@@ -852,6 +915,56 @@ def _raster_tile_shade_kernel(
     best_f[:] = jnp.zeros_like(best_f)  # (P, NF)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def eval_chunk(f, tid, nvalid):
+        """Depth-resolve one (NF, CHUNK) field slab against the tile's
+        pixels; lanes ≥ ``nvalid`` are masked (tail / alignment prefix)."""
+        dx = px - f[9:10, :]  # (P, CHUNK)
+        dy = py - f[10:11, :]
+        e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
+        e1 = dx * f[1:2, :] + dy * f[4:5, :] + f[7:8, :]
+        e2 = dx * f[2:3, :] + dy * f[5:6, :] + f[8:9, :]
+        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+        z = dx * f[11:12, :] + dy * f[12:13, :] + f[13:14, :]
+
+        in_run = lane < nvalid
+        ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
+        zm = jnp.where(ok, z, jnp.inf)
+
+        zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
+        if mat_stride > 1:
+            code = tid * mat_stride + f[14:15, :].astype(jnp.int32)
+        else:
+            code = tid
+        win_id = jnp.min(
+            jnp.where(zm <= zmin, code, jnp.int32(0x7FFFFFFF)),
+            axis=1,
+            keepdims=True,
+        )
+        # Exactly ONE winning lane (duplicate pairs of one triangle are
+        # broken by smallest lane index, same as the G-buffer kernel).
+        # Measured alternatives that LOST on v5e: dropping this reduce in
+        # favor of a constant-1-field duplicate count (+0.6 ms) and a
+        # manual 3-pass bf16-split matmul replacing HIGHEST (+2.9 ms).
+        is_win = (zm <= zmin) & (code == win_id)
+        win_lane = jnp.min(
+            jnp.where(is_win, lane, jnp.int32(0x7FFFFFFF)),
+            axis=1,
+            keepdims=True,
+        )
+        onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
+        cand = jax.lax.dot_general(
+            onehot,
+            f,
+            (((1,), (1,)), ((), ())),
+            precision=mm_precision,
+            preferred_element_type=jnp.float32,
+        )  # (P, NF)
+
+        better = zmin < best_z[:]
+        best_z[:] = jnp.where(better, zmin, best_z[:])
+        best_id[:] = jnp.where(better, win_id, best_id[:])
+        best_f[:] = jnp.where(better, cand, best_f[:])
 
     def process_range(lo, hi):
         lo_a = (lo // CHUNK) * CHUNK
@@ -884,55 +997,7 @@ def _raster_tile_shade_kernel(
             fw.wait()
             iw.wait()
             base = pl.multiple_of(lo_a + j * CHUNK, CHUNK)
-
-            f = fbuf[slot]  # (NF, CHUNK)
-            dx = px - f[9:10, :]  # (P, CHUNK)
-            dy = py - f[10:11, :]
-            e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
-            e1 = dx * f[1:2, :] + dy * f[4:5, :] + f[7:8, :]
-            e2 = dx * f[2:3, :] + dy * f[5:6, :] + f[8:9, :]
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-            z = dx * f[11:12, :] + dy * f[12:13, :] + f[13:14, :]
-
-            tid = ibuf[slot]  # (1, CHUNK)
-            in_run = lane < (hi - base)
-            ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
-            zm = jnp.where(ok, z, jnp.inf)
-
-            zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
-            if mat_stride > 1:
-                code = tid * mat_stride + f[14:15, :].astype(jnp.int32)
-            else:
-                code = tid
-            win_id = jnp.min(
-                jnp.where(zm <= zmin, code, jnp.int32(0x7FFFFFFF)),
-                axis=1,
-                keepdims=True,
-            )
-            # Exactly ONE winning lane (duplicate pairs of one triangle are
-            # broken by smallest lane index, same as the G-buffer kernel).
-            # Measured alternatives that LOST on v5e: dropping this reduce in
-            # favor of a constant-1-field duplicate count (+0.6 ms) and a
-            # manual 3-pass bf16-split matmul replacing HIGHEST (+2.9 ms).
-            is_win = (zm <= zmin) & (code == win_id)
-            win_lane = jnp.min(
-                jnp.where(is_win, lane, jnp.int32(0x7FFFFFFF)),
-                axis=1,
-                keepdims=True,
-            )
-            onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
-            cand = jax.lax.dot_general(
-                onehot,
-                f,
-                (((1,), (1,)), ((), ())),
-                precision=mm_precision,
-                preferred_element_type=jnp.float32,
-            )  # (P, NF)
-
-            better = zmin < best_z[:]
-            best_z[:] = jnp.where(better, zmin, best_z[:])
-            best_id[:] = jnp.where(better, win_id, best_id[:])
-            best_f[:] = jnp.where(better, cand, best_f[:])
+            eval_chunk(fbuf[slot], ibuf[slot], hi - base)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -940,78 +1005,127 @@ def _raster_tile_shade_kernel(
     g_end = starts_ref[0]
     s0 = starts_ref[i]
     s1 = starts_ref[i + 1]
+    nonempty = (g_end > 0) | (s1 > s0)
+    c_out = num_output_channels(ibl)
 
-    @pl.when(g_end > 0)
+    # Jumbo run residency: pairs [0, g_end) are shared by EVERY tile, so DMA
+    # them into VMEM ONCE (first grid step — scratch persists) instead of
+    # re-fetching ~2 chunks per tile. Tiles evaluate the resident slab with
+    # zero DMA; the (rare) overflow past the resident capacity streams
+    # through the normal double-buffered path.
+    @pl.when((i == 0) & (g_end > 0))
     def _():
-        process_range(0, g_end)
+        jf = pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(0, jpad)], jbuf, jsem.at[0]
+        )
+        ji = pltpu.make_async_copy(
+            ids_ref.at[:, pl.ds(0, jpad)], jibuf, jsem.at[1]
+        )
+        jf.start()
+        ji.start()
+        jf.wait()
+        ji.wait()
 
-    @pl.when(s1 > s0)
+    @pl.when(nonempty)
     def _():
-        process_range(s0, s1)
+        @pl.when(g_end > 0)
+        def _():
+            nj = jnp.minimum(g_end, jpad)
+            njc = (nj + CHUNK - 1) // CHUNK
 
-    # --- interpolation: evaluate the winner's attribute planes --------------
-    # (P,·) space, same shapes as the G-buffer kernel's epilogue (few temps).
-    bf = best_f[:]  # (P, NF)
-    dxp = px - bf[:, 9:10]
-    dyp = py - bf[:, 10:11]
-    a0 = GBUF_FIELD0
-    planes = (
-        bf[:, a0 : a0 + num_ch] * dxp
-        + bf[:, a0 + num_ch : a0 + 2 * num_ch] * dyp
-        + bf[:, a0 + 2 * num_ch : a0 + 3 * num_ch]
-    )  # (P, CH): [attr·(1/w) … , 1/w]
-    invw = planes[:, num_ch - 1 : num_ch]
-    attrs = planes[:, : num_ch - 1] / jnp.where(jnp.abs(invw) > 1e-20, invw, 1.0)
-    hit_p = best_id[:] >= 0
-    if want_gbuf:
-        depth = bf[:, 11:12] * dxp + bf[:, 12:13] * dyp + bf[:, 13:14]
-        gb = jnp.concatenate([attrs, depth], axis=-1)
-        out_gb_ref[:] = jnp.where(hit_p, gb, 0.0).reshape(1, p, num_ch)
+            def jbody(c, _):
+                b = pl.multiple_of(c * CHUNK, CHUNK)
+                eval_chunk(
+                    jbuf[:, pl.ds(b, CHUNK)], jibuf[:, pl.ds(b, CHUNK)], nj - b
+                )
+                return 0
 
-    # --- material constant fetch: one-hot MXU matmul -------------------------
-    # (the cbMaterial read, Core.hlsl:64-81; exact at every precision on the
-    # one-hot side, table side full f32 at HIGHEST)
-    mpad = mat_ref.shape[0]
-    mid_i = bf[:, FIELD_MATERIAL : FIELD_MATERIAL + 1].astype(jnp.int32)  # (P,1)
-    onehot_m = (
-        mid_i == jax.lax.broadcasted_iota(jnp.int32, (1, mpad), 1)
-    ).astype(jnp.float32)  # (P, MPAD)
-    props = jax.lax.dot_general(
-        onehot_m,
-        mat_ref[:],
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (P, MATK): [diffuse(3), metallic, fresnel_r0(3), roughness, opacity]
+            jax.lax.fori_loop(0, njc, jbody, 0)
 
-    # --- ONE transpose into row layout (k, P), then shade --------------------
-    # [attrs(6) | props(0:9) | hit] — every later temp is a (1,P)/(3,P) row.
-    # The shading expression itself lives in ops/shade_core.shade_core,
-    # SHARED with the fused backward kernel (which jax.vjp's it in-kernel).
-    chan = jnp.concatenate(
-        [attrs, props[:, :9], hit_p.astype(jnp.float32)], axis=-1
-    )  # (P, 16)
-    tr = jnp.swapaxes(chan, 0, 1)  # (16, P)
-    pos = tuple(tr[c : c + 1, :] for c in range(3))
-    nrm = tuple(tr[c : c + 1, :] for c in range(3, 6))
-    props9 = tuple(tr[c : c + 1, :] for c in range(6, 15))
-    hit_t = tr[15:16, :] > 0.0
+        @pl.when(g_end > jpad)
+        def _():
+            process_range(jpad, g_end)
 
-    rows = shade_core(
-        pos,
-        nrm,
-        props9,
-        uni_ref[:],
-        num_dir=num_dir,
-        num_point=num_point,
-        num_spot=num_spot,
-        ibl=ibl,
-        apply_tonemap=apply_tonemap,
-    )
-    c_out = len(rows)
-    rgba = jnp.where(hit_t, jnp.concatenate(rows, axis=0), 0.0)  # (C_out, P)
-    out_rgba_ref[:] = rgba.reshape(1, c_out * tile_h, tile_w)
-    out_id_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
+        @pl.when(s1 > s0)
+        def _():
+            process_range(s0, s1)
+
+        # --- interpolation: evaluate the winner's attribute planes ----------
+        # (P,·) space, same shapes as the G-buffer kernel's epilogue.
+        bf = best_f[:]  # (P, NF)
+        dxp = px - bf[:, 9:10]
+        dyp = py - bf[:, 10:11]
+        a0 = GBUF_FIELD0
+        planes = (
+            bf[:, a0 : a0 + num_ch] * dxp
+            + bf[:, a0 + num_ch : a0 + 2 * num_ch] * dyp
+            + bf[:, a0 + 2 * num_ch : a0 + 3 * num_ch]
+        )  # (P, CH): [attr·(1/w) … , 1/w]
+        invw = planes[:, num_ch - 1 : num_ch]
+        attrs = planes[:, : num_ch - 1] / jnp.where(
+            jnp.abs(invw) > 1e-20, invw, 1.0
+        )
+        hit_p = best_id[:] >= 0
+        if want_gbuf:
+            depth = bf[:, 11:12] * dxp + bf[:, 12:13] * dyp + bf[:, 13:14]
+            gb = jnp.concatenate([attrs, depth], axis=-1)
+            out_gb_ref[:] = jnp.where(hit_p, gb, 0.0).reshape(1, p, num_ch)
+
+        # --- material constant fetch: one-hot MXU matmul --------------------
+        # (the cbMaterial read, Core.hlsl:64-81; exact at every precision on
+        # the one-hot side, table side full f32 at HIGHEST)
+        mpad = mat_ref.shape[0]
+        mid_i = bf[:, FIELD_MATERIAL : FIELD_MATERIAL + 1].astype(jnp.int32)
+        onehot_m = (
+            mid_i == jax.lax.broadcasted_iota(jnp.int32, (1, mpad), 1)
+        ).astype(jnp.float32)  # (P, MPAD)
+        props = jax.lax.dot_general(
+            onehot_m,
+            mat_ref[:],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (P, MATK): [diffuse(3), metallic, fresnel_r0(3), rough, opacity]
+
+        # --- ONE transpose into row layout (k, P), then shade ---------------
+        # [attrs(6) | props(0:9) | hit] — every later temp is a (1,P) row.
+        # The shading expression itself lives in ops/shade_core.shade_core,
+        # SHARED with the fused backward kernel (which jax.vjp's it
+        # in-kernel).
+        chan = jnp.concatenate(
+            [attrs, props[:, :9], hit_p.astype(jnp.float32)], axis=-1
+        )  # (P, 16)
+        tr = jnp.swapaxes(chan, 0, 1)  # (16, P)
+        pos = tuple(tr[c : c + 1, :] for c in range(3))
+        nrm = tuple(tr[c : c + 1, :] for c in range(3, 6))
+        props9 = tuple(tr[c : c + 1, :] for c in range(6, 15))
+        hit_t = tr[15:16, :] > 0.0
+
+        rows = shade_core(
+            pos,
+            nrm,
+            props9,
+            uni_ref[:],
+            num_dir=num_dir,
+            num_point=num_point,
+            num_spot=num_spot,
+            ibl=ibl,
+            apply_tonemap=apply_tonemap,
+        )
+        rgba = jnp.where(hit_t, jnp.concatenate(rows, axis=0), 0.0)
+        out_rgba_ref[:] = rgba.reshape(1, c_out * tile_h, tile_w)
+        out_id_ref[:] = best_id[:].reshape(1, tile_h, tile_w)
+
+    # Empty tile (no own pairs, no jumbo run): pure-background output — skip
+    # the resolve loop, interpolation, material fetch and the whole shading
+    # expression. Dominant on sparse scenes: the 12k-tri mori_knob view
+    # leaves ~55% of 1080p tiles empty (round-4 profiling).
+    @pl.when(jnp.logical_not(nonempty))
+    def _():
+        out_rgba_ref[:] = jnp.zeros_like(out_rgba_ref)
+        out_id_ref[:] = jnp.full_like(out_id_ref, -1)
+        if want_gbuf:
+            out_gb_ref[:] = jnp.zeros_like(out_gb_ref)
 
 
 @functools.partial(
@@ -1025,6 +1139,8 @@ def _raster_tile_shade_kernel(
         "max_span",
         "pairs_cap",
         "big_cap",
+        "big2_span",
+        "big2_cap",
         "cull_backface",
         "num_materials",
         "num_dir",
@@ -1058,6 +1174,8 @@ def rasterize_binned_shade(
     max_span: int = 16,
     pairs_cap: int | None = None,
     big_cap: int | None = None,
+    big2_span: int = 0,
+    big2_cap: int | None = None,
     cull_backface: bool = True,
     num_materials: int = 0,
     num_dir: int = 0,
@@ -1102,6 +1220,8 @@ def rasterize_binned_shade(
         max_span=max_span,
         pairs_cap=pairs_cap,
         big_cap=big_cap,
+        big2_span=big2_span,
+        big2_cap=big2_cap,
         chunk=CHUNK,
         face_material=face_material,  # field 14 feeds the in-kernel fetch
         corner_channels=corner_channels,
@@ -1158,6 +1278,7 @@ def rasterize_binned_shade(
             )
         )
 
+    jpad = max(CHUNK, min(8 * CHUNK, binned.packed.shape[1] // CHUNK * CHUNK))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
@@ -1171,6 +1292,9 @@ def rasterize_binned_shade(
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, 1), jnp.int32),
             pltpu.VMEM((p, nf), jnp.float32),
+            pltpu.VMEM((nf, jpad), jnp.float32),  # resident jumbo fields
+            pltpu.VMEM((1, jpad), jnp.int32),  # resident jumbo tri ids
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -1456,6 +1580,8 @@ def raster_shade(
     tile_h: int = 4,
     tile_w: int = 128,
     max_span: int = 16,
+    big2_span: int = 0,
+    big2_cap: int | None = None,
     cull_backface: bool = True,
     num_materials: int = 0,
     num_dir: int = 0,
@@ -1487,6 +1613,8 @@ def raster_shade(
         tile_h=tile_h,
         tile_w=tile_w,
         max_span=max_span,
+        big2_span=big2_span,
+        big2_cap=big2_cap,
         cull_backface=cull_backface,
         num_materials=num_materials,
         num_dir=num_dir,
@@ -1594,6 +1722,8 @@ def raster_shade_ibl(
     tile_h: int = 4,
     tile_w: int = 128,
     max_span: int = 16,
+    big2_span: int = 0,
+    big2_cap: int | None = None,
     cull_backface: bool = True,
     num_materials: int = 0,
     num_dir: int = 0,
@@ -1623,6 +1753,8 @@ def raster_shade_ibl(
         tile_h=tile_h,
         tile_w=tile_w,
         max_span=max_span,
+        big2_span=big2_span,
+        big2_cap=big2_cap,
         cull_backface=cull_backface,
         num_materials=num_materials,
         num_dir=num_dir,
@@ -1720,6 +1852,8 @@ def raster_gbuffer(
     tile_h: int = 16,
     tile_w: int = 128,
     max_span: int = 8,
+    big2_span: int = 0,
+    big2_cap: int | None = None,
     cull_backface: bool = True,
     num_materials: int = 0,
     pairs_cap: int | None = None,
@@ -1751,6 +1885,8 @@ def raster_gbuffer(
             tile_h=tile_h,
             tile_w=tile_w,
             max_span=max_span,
+            big2_span=big2_span,
+            big2_cap=big2_cap,
             cull_backface=cull_backface,
             face_material=fm_,
             num_materials=num_materials,

@@ -175,15 +175,20 @@ def render_tri_sharded(
     width: int,
     height: int,
     merge: str = "ring",
+    raster_backend: str = "auto",
     **render_kwargs: Any,
 ) -> jnp.ndarray:
     """Render with TRIANGLES sharded over the mesh (SURVEY.md §2.3: the
     'primitive parallel' axis — triangles : tiles :: keys : queries in ring
     attention, with the depth resolve as the online running-reduce).
 
-    Each device rasterizes the full frame against its triangle shard (raster
-    work scales 1/N); the per-device (depth, id) buffers then merge to a
-    global hard-visibility resolve either by
+    MEMORY-SHARDED: the corner-major geometry (clip positions, interpolation
+    attributes, face materials) is partitioned P(tris) across the mesh —
+    per-chip triangle storage is O(T/N), the reason primitive parallelism
+    exists (triangle count ≫ per-chip memory). Each device rasterizes the
+    full frame against only its shard (through the Pallas kernel on TPU);
+    the per-device (depth, id) buffers then merge to a global
+    hard-visibility resolve by either
 
       * ``merge="ring"`` — N−1 ``ppermute`` steps passing (z, id) around the
         ICI ring with a running elementwise min-by-depth (streaming, O(HW)
@@ -191,50 +196,81 @@ def render_tri_sharded(
       * ``merge="allgather"`` — one all_gather + argmin over the device axis
         (simpler, N× memory).
 
-    Shading then runs row-sharded through :func:`renderer.shade_compose_band`
-    — the SAME deferred tail ``render`` uses (one implementation, no drift).
-    Geometry/material data stays replicated this round; the memory-sharded
-    attribute-exchange variant is the planned extension.
-    """
+    Shading is row-band data-parallel with a RING ATTRIBUTE EXCHANGE: the
+    winning triangles of a band live on arbitrary shards, so the attribute
+    blocks circulate the ICI ring (N steps) and each device interpolates the
+    pixels whose winner belongs to the resident block — the key/value
+    rotation of ring attention, applied to vertex attributes. Material,
+    light and texture banks stay replicated (they are small); only the O(T)
+    arrays shard."""
     from ..models.scene import flatten_scene_corners
-    from ..renderer import shade_compose_band
+    from ..renderer import shade_compose_band_attrs
     from .. import math3d
-    from ..ops import raster
+    from ..ops import raster, raster_pallas
 
     n = mesh.shape[TRIS_AXIS]
     assert height % n == 0, f"height {height} must divide over {n} devices"
     band = height // n
 
+    backend = raster_backend
+    if backend == "auto":
+        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
+
+    # Build + clip-transform the corner geometry OUTSIDE shard_map with a
+    # P(tris) sharding constraint: XLA partitions the (embarrassingly
+    # triangle-parallel) flatten/transform einsums so each device builds and
+    # HOLDS only its ~T/N rows — the memory axis, not just a compute split.
+    textured = scene.atlas is not None
+    geom = flatten_scene_corners(scene, textured=textured)
+    vp = camera.view_proj()
+    clip = math3d.transform_points_h(geom.pos_w, vp)  # (T, 3, 4)
+    num_t = geom.num_triangles
+    shard = -(-num_t // n)
+    pad_t = shard * n - num_t
+
+    def shard_tris(x):
+        x = jnp.pad(x, ((0, pad_t),) + ((0, 0),) * (x.ndim - 1))
+        return jax.device_put(x, NamedSharding(mesh, P(TRIS_AXIS)))
+
+    clip_sh = shard_tris(clip)
+    attrs_sh = shard_tris(geom.attrs)
+    fm_sh = shard_tris(geom.face_material)
+
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(TRIS_AXIS),
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(TRIS_AXIS), P(TRIS_AXIS), P(TRIS_AXIS)),
+        out_specs=P(TRIS_AXIS),
         check_vma=False,  # see make_train_step: custom_vjp material fetch
     )
-    def _render(scene_rep: Scene, cam_rep: Camera):
+    def _render(scene_rep: Scene, cam_rep: Camera, clip_loc, attrs_loc, fm_loc):
         i = jax.lax.axis_index(TRIS_AXIS)
-        textured = scene_rep.atlas is not None
-        geom = flatten_scene_corners(scene_rep, textured=textured)
-        vp = cam_rep.view_proj()
-        clip = math3d.transform_points_h(geom.pos_w, vp)  # (T, 3, 4)
-
-        # Triangle shard: static equal corner-major slices with a validity
-        # mask so the last shard's padding is inert (zero-area, culled).
-        num_t = geom.num_triangles
-        shard = -(-num_t // n)
         start = i * shard
-        clip_pad = jnp.pad(clip, ((0, shard * n - num_t), (0, 0), (0, 0)))
-        local_clip = jax.lax.dynamic_slice_in_dim(clip_pad, start, shard, axis=0)
         local_idx = start + jnp.arange(shard, dtype=jnp.int32)
         local_valid = local_idx < num_t
 
-        tid_local, z_local = raster.rasterize(
-            local_clip,
-            None,  # corner-major
-            width=width,
-            height=height,
-            tri_mask=local_valid,
-            return_depth=True,
-            **render_kwargs,
-        )
+        if backend == "pallas":
+            tid_local, _mat, z_local = raster_pallas.rasterize_binned(
+                clip_loc,
+                None,  # corner-major
+                width=width,
+                height=height,
+                tri_mask=local_valid,
+                face_material=fm_loc,
+                num_materials=scene_rep.materials.num_materials,
+                return_depth=True,
+                **render_kwargs,
+            )
+        else:
+            tid_local, z_local = raster.rasterize(
+                clip_loc,
+                None,  # corner-major
+                width=width,
+                height=height,
+                tri_mask=local_valid,
+                return_depth=True,
+                **render_kwargs,
+            )
         tid_global = jnp.where(tid_local >= 0, tid_local + start, -1)
 
         if merge == "allgather":
@@ -254,19 +290,50 @@ def render_tri_sharded(
                 best_id = jnp.where(take, send_id, best_id)
             tid = best_id
 
-        # Row-band shading of the merged id map (data parallel over pixels),
-        # via render()'s own deferred tail.
+        # Row-band shading with ring attribute exchange: rotate the
+        # (clip, attrs, owner) blocks around the ring; at each step
+        # interpolate the band pixels whose winning triangle lives in the
+        # resident block. N small masked interpolations ≡ one full one.
         y0 = i * band
         tid_band = jax.lax.dynamic_slice_in_dim(tid, y0, band, axis=0)
-        return shade_compose_band(
+        hit = tid_band >= 0
+
+        cur_clip, cur_attrs, cur_fm = clip_loc, attrs_loc, fm_loc
+        cur_owner = i
+        out_attrs = jnp.zeros(
+            (band, width, attrs_loc.shape[-1]), jnp.float32
+        )
+        out_mask = jnp.zeros((band, width), bool)
+        out_mat = jnp.zeros((band, width), jnp.int32)
+        perm = [(j, (j + 1) % n) for j in range(n)]
+        for _step in range(n):
+            base = cur_owner * shard
+            in_blk = hit & (tid_band >= base) & (tid_band < base + shard)
+            tid_loc = jnp.where(in_blk, tid_band - base, -1)
+            a, _d, m = raster.interpolate_corners(
+                cur_attrs, cur_clip, tid_loc,
+                width=width, height=height, y_offset=y0,
+            )
+            out_attrs = jnp.where(in_blk[..., None], a, out_attrs)
+            out_mask = out_mask | (in_blk & m)
+            out_mat = jnp.where(
+                in_blk, cur_fm[jnp.maximum(tid_loc, 0)], out_mat
+            )
+            if _step < n - 1:
+                cur_clip = jax.lax.ppermute(cur_clip, TRIS_AXIS, perm)
+                cur_attrs = jax.lax.ppermute(cur_attrs, TRIS_AXIS, perm)
+                cur_fm = jax.lax.ppermute(cur_fm, TRIS_AXIS, perm)
+                cur_owner = (cur_owner - 1) % n
+
+        return shade_compose_band_attrs(
             scene_rep,
             cam_rep,
-            geom,
-            clip,
-            tid_band,
+            out_attrs,
+            out_mask,
+            out_mat,
             width=width,
             height=height,
             y_offset=y0,
         )
 
-    return _render(scene, camera)
+    return _render(scene, camera, clip_sh, attrs_sh, fm_sh)

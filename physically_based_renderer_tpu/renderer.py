@@ -337,12 +337,12 @@ def render(
     clip = math3d.transform_points_h(geom.pos_w, vp)  # (T, 3, 4)
     packed = geom.attrs  # (T, 3, C) with C = 6 or 14
     # Adaptive binning span: small scenes tend to have LARGE on-screen
-    # triangles, and every triangle spanning more than max_span tiles goes
-    # jumbo — a global run EVERY tile rescans. mori_knob at 1080p had 139
-    # jumbos at max_span=8 (backdrop triangles spanning up to 56 tiles),
-    # putting 2 extra chunk-steps in front of all ~1000 tiles — ~2/3 of the
-    # G-buffer kernel's 40 ms. max_span=64 debinds them for a ~766k-slot
-    # sort, trivial at this scene size; big scenes keep the tuned defaults.
+    # triangles; spans ≤ 64 emit densely and the few larger ones go jumbo.
+    # Round-4 measurement kept this over the no-jumbo big2 class: with a
+    # full-frame backdrop (mori_knob), the small shared jumbo run is CHEAPER
+    # than distributing those pairs into every tile's own run (15.2 vs
+    # 20.5 ms raster-only), and the kernel now keeps the jumbo run RESIDENT
+    # in VMEM (one DMA for the whole frame instead of one per tile).
     num_tris = geom.pos_w.shape[0]
     span_wide = num_tris <= (1 << 15)
 
@@ -719,11 +719,37 @@ def shade_compose_band(
     across chips but whose shading is exactly this, band-local — one
     implementation, no drift from ``render``.
     """
-    rows = tri_id.shape[0]
-    textured = scene.atlas is not None
     attrs, _depth, mask = raster.interpolate_corners(
         geom.attrs, clip, tri_id, width=width, height=height, y_offset=y_offset
     )
+    pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
+    return shade_compose_band_attrs(
+        scene, camera, attrs, mask, pix_mat,
+        width=width, height=height, y_offset=y_offset,
+        apply_tonemap=apply_tonemap,
+    )
+
+
+def shade_compose_band_attrs(
+    scene: Scene,
+    camera: Camera,
+    attrs: jnp.ndarray,  # (rows, W, C) interpolated G-buffer attributes
+    mask: jnp.ndarray,  # (rows, W) bool — foreground coverage
+    pix_mat: jnp.ndarray,  # (rows, W) i32 material ids
+    *,
+    width: int,
+    height: int,
+    y_offset: jnp.ndarray | int = 0,
+    apply_tonemap: bool = True,
+) -> jnp.ndarray:
+    """Shade + sky + tonemap + compose a band from PRE-INTERPOLATED
+    attributes — the tail of :func:`shade_compose_band` once the G-buffer is
+    assembled. Split out so the memory-sharded triangle path can build the
+    band's attributes via its ring attribute exchange
+    (``parallel.sharded.render_tri_sharded``) and still shade through the
+    one shared implementation."""
+    rows = mask.shape[0]
+    textured = scene.atlas is not None
     pos_w = attrs[..., 0:3]
     normal_w = attrs[..., 3:6]
     if textured:
@@ -734,7 +760,6 @@ def shade_compose_band(
         tangent_w = normal_w
         bitangent_w = normal_w
         uv = attrs[..., 0:2] * 0.0
-    pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
     hdr, opacity, keep = shade_pixels(
         pos_w=pos_w,
         normal_w=normal_w,
@@ -800,19 +825,25 @@ def check_raster_capacity(
     clip = math3d.transform_points_h(geom.pos_w, camera.view_proj())
     st = setup_corners(clip, width, height, True, None)
     span_wide = geom.pos_w.shape[0] <= (1 << 15)
-    max_span = 64 if span_wide else 8
     if tile_h is None:
-        # Mirror render()'s backend defaults: the fused shade kernel bins at
-        # 4-row tiles with max_span 16, the G-buffer kernel at 16/8; small
-        # scenes widen to 64 (the adaptive jumbo-avoidance rule in render).
+        # Mirror render()'s backend defaults: the fused shade/IBL kernels
+        # bin at 4-row tiles with max_span 16, the G-buffer kernel at 16/8;
+        # small scenes add the second dense class (spans ≤ 128) so nothing
+        # goes jumbo (the adaptive rule in render).
         fused_shade = (
             not textured
             and scene.ibl is None
             and not scene.materials.any_alpha_test
         )
-        tile_h = 4 if fused_shade else 16
-        if not span_wide:
-            max_span = 16 if fused_shade else 8
+        fused_ibl = (
+            not textured
+            and scene.ibl is not None
+            and not scene.materials.any_alpha_test
+        )
+        tile_h = 4 if (fused_shade or fused_ibl) else 16
+        max_span = 64 if span_wide else (16 if (fused_shade or fused_ibl) else 8)
+    else:
+        max_span = 64 if span_wide else 8
     binned = bin_triangles(
         st,
         width=width,
@@ -928,6 +959,23 @@ def render_layered(
     face_transparent = scene.materials.transparent[geom.face_material] > 0.5
     solid_mask = ~face_transparent
 
+    # Peels ride the binned Pallas kernel on TPU (z_floor + tri_mask are
+    # first-class kernel features), the jnp rasterizer on CPU.
+    use_pallas = jax.default_backend() != "cpu"
+
+    def peel(tri_mask, z_floor, cull):
+        if use_pallas:
+            return raster_pallas.rasterize_binned(
+                clip, None, width=width, height=height,
+                tri_mask=tri_mask, cull_backface=cull,
+                z_floor=z_floor, return_depth=True,
+            )
+        return raster.rasterize(
+            clip, None, width=width, height=height,
+            tri_mask=tri_mask, cull_backface=cull,
+            z_floor=z_floor, return_depth=True,
+        )
+
     def shade_at(tri_id):
         attrs, _, _ = raster.interpolate_corners(
             geom.attrs, clip, tri_id, width=width, height=height
@@ -967,15 +1015,7 @@ def render_layered(
     solid_z = jnp.full((height, width), 1.0, jnp.float32)  # far plane
     resolved = jnp.zeros((height, width), bool)
     for _ in range(solid_layers):
-        tid, z = raster.rasterize(
-            clip,
-            None,  # corner-major
-            width=width,
-            height=height,
-            tri_mask=solid_mask,
-            z_floor=z_floor,
-            return_depth=True,
-        )
+        tid, z = peel(solid_mask, z_floor, True)
         color, opacity, pix_mat, keep = shade_at(tid)
         at_flag = scene.materials.alpha_test[pix_mat] > 0.5
         hit = tid >= 0
@@ -1005,16 +1045,8 @@ def render_layered(
         transmit = jnp.ones((height, width, 1), jnp.float32)
         z_floor_t = jnp.full((height, width), -jnp.inf, jnp.float32)
         for _ in range(transparent_layers):
-            tid, z = raster.rasterize(
-                clip,
-                None,  # corner-major
-                width=width,
-                height=height,
-                tri_mask=face_transparent,
-                cull_backface=False,  # transparent PSO is CULL_NONE
-                z_floor=z_floor_t,
-                return_depth=True,
-            )
+            # transparent PSO is CULL_NONE
+            tid, z = peel(face_transparent, z_floor_t, False)
             color, opacity, _, keep = shade_at(tid)
             visible = (tid >= 0) & (z < solid_z) & keep  # depth test vs solids
             a = jnp.where(visible, opacity, 0.0)[..., None]

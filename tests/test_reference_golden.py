@@ -62,6 +62,8 @@ def _load_pose(which):
 def test_pbr_scene_matches_reference_sample():
     if scenes.AssetCache().root is None:
         pytest.skip("reference assets not mounted")
+    import dataclasses
+
     target = _load_target("PBR.png")
     cam = _load_pose("pbr")
     scene = scenes.pbr_scene(environment="subway_lights").with_combined_textures()
@@ -70,6 +72,21 @@ def test_pbr_scene_matches_reference_sample():
     # Same scene, same lighting model, fitted pose: demand clear structural
     # agreement (uncorrelated renders of this content score ≈ 0.1-0.3).
     assert s > 0.55, f"SSIM vs Samples/PBR.png = {s:.3f}"
+    # Foreground-masked comparison: the screenshot's hi-res background
+    # (20_Subway_Lights_8k.jpg) is a missing large blob in this checkout
+    # (.MISSING_LARGE_BLOBS), so only the 59 spheres can match — mask them
+    # via a sky-less clear-color probe. Measured 0.645 (round 4,
+    # docs/golden_pbr_sidebyside.png holds the target|render|diff triptych);
+    # gate at 0.60.
+    probe_scene = dataclasses.replace(
+        scene, sky_map=None, env_map=None,
+        clear_color=jnp.asarray([-1.0, -1.0, -1.0]),
+    )
+    probe = np.asarray(render(probe_scene, cam, width=W, height=H))
+    fg = probe[..., 0] >= 0.0
+    assert 0.2 < fg.mean() < 0.95, fg.mean()
+    sm = ssim(img, target, mask=fg)
+    assert sm > 0.60, f"masked SSIM vs Samples/PBR.png = {sm:.3f}"
 
 
 def test_rustediron_matches_reference_sample():
@@ -96,4 +113,6 @@ def test_rustediron_matches_reference_sample():
     if fg.mean() < 0.2:
         pytest.skip("fitted pose puts too little sphere in frame")
     s = ssim(img, target, mask=fg)
-    assert s > 0.5, f"masked SSIM vs Samples/rusted_iron_pbr.png = {s:.3f}"
+    # Measured 0.542 with mip filtering on (0.516 at 1-mip parity, round 4);
+    # gate just under the measured value.
+    assert s > 0.52, f"masked SSIM vs Samples/rusted_iron_pbr.png = {s:.3f}"
