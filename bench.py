@@ -247,7 +247,7 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "--config", name],
                 capture_output=True,
                 text=True,
-                timeout=420,
+                timeout=900,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]

@@ -269,7 +269,7 @@ def _raster_tile_gbuf_kernel(
     px = x_base + (pix % tile_w).astype(jnp.float32) + 0.5
     py = y_base + (pix // tile_w).astype(jnp.float32) + 0.5
 
-    best_z[:] = jnp.full((p, 1), jnp.inf, jnp.float32)
+    best_z[:] = jnp.full((p, 1), 0x7FFFFFFF, jnp.int32)  # packed (z|lane) key
     best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
     best_f[:] = jnp.zeros_like(best_f)
     zf = zfloor_ref[:].reshape(p, 1) if has_zfloor else None
@@ -289,47 +289,37 @@ def _raster_tile_gbuf_kernel(
         ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
         if has_zfloor:
             ok &= z > zf  # depth peeling: strictly-behind-floor only
-        zm = jnp.where(ok, z, jnp.inf)
-
-        zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
-        if mat_stride > 1:
-            code = tid * mat_stride + f[14:15, :].astype(jnp.int32)
-        else:
-            code = tid
-        win_id = jnp.min(
-            jnp.where(zm <= zmin, code, jnp.int32(0x7FFFFFFF)),
-            axis=1,
-            keepdims=True,
+        # PACKED-KEY resolve: one cross-lane min instead of three — see the
+        # fused shade kernel's eval_chunk for the scheme and its depth-test
+        # quantization bound. Winner-field extraction as a one-hot MXU
+        # matmul (HIGHEST reproduces f32 attributes exactly; the winner's
+        # triangle id rides as an appended field row, exact for ids < 2^24).
+        zbits = jax.lax.bitcast_convert_type(z, jnp.int32)
+        key = jnp.where(
+            ok, (zbits & jnp.int32(~0x7F)) | lane, jnp.int32(0x7F800000)
         )
-        # Exactly ONE winning lane: duplicate pairs of the same triangle
-        # (identical z and code, possible in the chunk-aligned prefix)
-        # are broken by smallest lane index — a 2nd reduction, so the
-        # one-hot below sums to ≤1 and the matmul never double-counts.
-        is_win = (zm <= zmin) & (code == win_id)
-        win_lane = jnp.min(
-            jnp.where(is_win, lane, jnp.int32(0x7FFFFFFF)),
-            axis=1,
-            keepdims=True,
-        )
-        onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
-        # Winner-field extraction as a one-hot MXU matmul. Precision is a
-        # caller knob: HIGHEST reproduces f32 attributes exactly (6 MXU
-        # passes); HIGH is ~f32 to 1e-6 at half the cost; DEFAULT rounds
-        # the selected field rows to bf16 (~0.4% — below the u8 output
-        # quantization step, invisible in images). The one-hot side is
-        # exact at every precision.
+        kmin = jnp.min(key, axis=1, keepdims=True)  # (P, 1)
+        onehot = (key == kmin).astype(jnp.float32)
+        fext = jnp.concatenate([f, tid.astype(jnp.float32)], axis=0)
         cand = jax.lax.dot_general(
             onehot,
-            f,
+            fext,
             (((1,), (1,)), ((), ())),
             precision=mm_precision,
             preferred_element_type=jnp.float32,
-        )  # (P, NF) — the winning lane's field row
+        )  # (P, NF+1)
 
-        better = zmin < best_z[:]
-        best_z[:] = jnp.where(better, zmin, best_z[:])
+        better = (kmin < jnp.int32(0x7F800000)) & (kmin < best_z[:])
+        win_tid = cand[:, -1:].astype(jnp.int32)
+        if mat_stride > 1:
+            win_id = win_tid * mat_stride + cand[
+                :, FIELD_MATERIAL : FIELD_MATERIAL + 1
+            ].astype(jnp.int32)
+        else:
+            win_id = win_tid
+        best_z[:] = jnp.where(better, kmin, best_z[:])
         best_id[:] = jnp.where(better, win_id, best_id[:])
-        best_f[:] = jnp.where(better, cand, best_f[:])
+        best_f[:] = jnp.where(better, cand[:, :-1], best_f[:])
 
     def process_range(lo, hi):
         lo_a = (lo // CHUNK) * CHUNK
@@ -769,7 +759,7 @@ def rasterize_binned_gbuffer(
             pltpu.VMEM((2, 1, CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.int32),  # packed (z|lane) best key
             pltpu.VMEM((p, 1), jnp.int32),
             pltpu.VMEM((p, nf), jnp.float32),
             pltpu.VMEM((nf, jpad), jnp.float32),  # resident jumbo fields
@@ -910,7 +900,7 @@ def _raster_tile_shade_kernel(
     px = x_base + (pix % tile_w).astype(jnp.float32) + 0.5
     py = y_base + (pix // tile_w).astype(jnp.float32) + 0.5
 
-    best_z[:] = jnp.full((p, 1), jnp.inf, jnp.float32)
+    best_z[:] = jnp.full((p, 1), 0x7FFFFFFF, jnp.int32)  # packed (z|lane) key
     best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
     best_f[:] = jnp.zeros_like(best_f)  # (P, NF)
 
@@ -918,7 +908,20 @@ def _raster_tile_shade_kernel(
 
     def eval_chunk(f, tid, nvalid):
         """Depth-resolve one (NF, CHUNK) field slab against the tile's
-        pixels; lanes ≥ ``nvalid`` are masked (tail / alignment prefix)."""
+        pixels; lanes ≥ ``nvalid`` are masked (tail / alignment prefix).
+
+        PACKED-KEY resolve: depth and lane share ONE int32 key —
+        ``(bitcast(z) & ~0x7F) | lane`` (positive f32 bit patterns are
+        order-isomorphic to int32) — so the winner falls out of a SINGLE
+        cross-lane min instead of the three reductions of the original
+        scheme (zmin, min-code, min-lane): the lane bits make the key unique
+        per lane, giving an exact one-hot directly, and draw-order ties
+        still resolve correctly in-chunk (pairs are tile-sorted by triangle
+        id, so lane order IS draw order). The 7 sacrificed mantissa bits
+        quantize the depth TEST to ~1e-5 relative — winner flips need two
+        surfaces within that distance, where the interpolated attributes
+        agree to the same order. The winner's triangle id rides the
+        extraction matmul as an appended field row (exact for ids < 2^24)."""
         dx = px - f[9:10, :]  # (P, CHUNK)
         dy = py - f[10:11, :]
         e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
@@ -929,42 +932,32 @@ def _raster_tile_shade_kernel(
 
         in_run = lane < nvalid
         ok = inside & (z >= 0.0) & (z <= 1.0) & in_run & (tid >= 0)
-        zm = jnp.where(ok, z, jnp.inf)
-
-        zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
-        if mat_stride > 1:
-            code = tid * mat_stride + f[14:15, :].astype(jnp.int32)
-        else:
-            code = tid
-        win_id = jnp.min(
-            jnp.where(zm <= zmin, code, jnp.int32(0x7FFFFFFF)),
-            axis=1,
-            keepdims=True,
+        zbits = jax.lax.bitcast_convert_type(z, jnp.int32)
+        key = jnp.where(
+            ok, (zbits & jnp.int32(~0x7F)) | lane, jnp.int32(0x7F800000)
         )
-        # Exactly ONE winning lane (duplicate pairs of one triangle are
-        # broken by smallest lane index, same as the G-buffer kernel).
-        # Measured alternatives that LOST on v5e: dropping this reduce in
-        # favor of a constant-1-field duplicate count (+0.6 ms) and a
-        # manual 3-pass bf16-split matmul replacing HIGHEST (+2.9 ms).
-        is_win = (zm <= zmin) & (code == win_id)
-        win_lane = jnp.min(
-            jnp.where(is_win, lane, jnp.int32(0x7FFFFFFF)),
-            axis=1,
-            keepdims=True,
-        )
-        onehot = (is_win & (lane == win_lane)).astype(jnp.float32)
+        kmin = jnp.min(key, axis=1, keepdims=True)  # (P, 1) — THE reduction
+        onehot = (key == kmin).astype(jnp.float32)  # exactly one lane (id bits)
+        fext = jnp.concatenate([f, tid.astype(jnp.float32)], axis=0)
         cand = jax.lax.dot_general(
             onehot,
-            f,
+            fext,
             (((1,), (1,)), ((), ())),
             precision=mm_precision,
             preferred_element_type=jnp.float32,
-        )  # (P, NF)
+        )  # (P, NF+1) — winner's field row + its triangle id
 
-        better = zmin < best_z[:]
-        best_z[:] = jnp.where(better, zmin, best_z[:])
+        better = (kmin < jnp.int32(0x7F800000)) & (kmin < best_z[:])
+        win_tid = cand[:, -1:].astype(jnp.int32)
+        if mat_stride > 1:
+            win_id = win_tid * mat_stride + cand[
+                :, FIELD_MATERIAL : FIELD_MATERIAL + 1
+            ].astype(jnp.int32)
+        else:
+            win_id = win_tid
+        best_z[:] = jnp.where(better, kmin, best_z[:])
         best_id[:] = jnp.where(better, win_id, best_id[:])
-        best_f[:] = jnp.where(better, cand, best_f[:])
+        best_f[:] = jnp.where(better, cand[:, :-1], best_f[:])
 
     def process_range(lo, hi):
         lo_a = (lo // CHUNK) * CHUNK
@@ -1289,7 +1282,7 @@ def rasterize_binned_shade(
             pltpu.VMEM((2, 1, CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.int32),  # packed (z|lane) best key
             pltpu.VMEM((p, 1), jnp.int32),
             pltpu.VMEM((p, nf), jnp.float32),
             pltpu.VMEM((nf, jpad), jnp.float32),  # resident jumbo fields

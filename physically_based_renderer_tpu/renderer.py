@@ -544,6 +544,10 @@ def render(
         elif fused_gbuf:
             # Fused raster + G-buffer kernel: attrs come straight out of the
             # raster pass (plane-evaluated in VMEM), no per-pixel XLA gather.
+            # Textured scenes carry 15 interpolation channels: at 16-row
+            # tiles (P=2048) the kernel's Mosaic VMEM stack overflows the
+            # 16 MB scoped limit (measured 18.2 MB, round 4) — 8-row tiles
+            # halve every (P,·) temporary.
             attrs, depth, tri_id, pix_mat_k = raster_pallas.raster_gbuffer(
                 clip,
                 packed,
@@ -553,7 +557,7 @@ def render(
                 height=height,
                 rows=rows,
                 y_offset=y_offset,
-                tile_h=tile_h if tile_h is not None else 16,
+                tile_h=tile_h if tile_h is not None else (8 if textured else 16),
                 tile_w=tile_w,
                 max_span=64 if span_wide else 8,
                 cull_backface=cull_backface,
