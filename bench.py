@@ -235,7 +235,14 @@ def main() -> None:
         have_assets = False
 
     results: dict[str, object] = {}
+    first = True
     for name in CONFIGS:
+        # Let the tunnel settle between large back-to-back device programs:
+        # a config launched immediately after a heavy predecessor measured
+        # up to 16× slow (PERF.md round-3/4 contention notes).
+        if not first:
+            time.sleep(10)
+        first = False
         if not have_assets and name not in (
             "sphere_grid_analytic",
             "sharded_overhead_1chip",

@@ -40,8 +40,11 @@ CHUNK = 128  # triangles per DMA chunk (lane width)
 
 
 def _tile_zfloor(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w):
-    """(rows, W) z-floor → (ntiles, tile_h, tile_w) VMEM tile blocks
-    (padding = −inf: padded pixels accept everything, they are cropped)."""
+    """(rows, W) z-floor → (ntiles, tile_h·tile_w, 1) VMEM tile blocks,
+    pre-flattened to the kernels' (P, 1) pixel-column layout (an in-kernel
+    (th, tw) → (P, 1) shape cast is an unsupported Mosaic relayout —
+    crashed the backend compiler, round 4). Padding = −inf: padded pixels
+    accept everything, they are cropped."""
     zf = jnp.pad(
         z_floor,
         ((0, tiles_y * tile_h - rows), (0, tiles_x * tile_w - width)),
@@ -50,7 +53,7 @@ def _tile_zfloor(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w):
     return (
         zf.reshape(tiles_y, tile_h, tiles_x, tile_w)
         .transpose(0, 2, 1, 3)
-        .reshape(tiles_y * tiles_x, tile_h, tile_w)
+        .reshape(tiles_y * tiles_x, tile_h * tile_w, 1)
     )
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,  # 1 bf16 MXU pass (~3 digits)
@@ -109,7 +112,7 @@ def _raster_tile_kernel(
 
     best_z[:] = jnp.full((p, 1), jnp.inf, jnp.float32)
     best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
-    zf = zfloor_ref[:].reshape(p, 1) if has_zfloor else None
+    zf = zfloor_ref[0] if has_zfloor else None  # (P, 1) pre-flattened
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -272,7 +275,7 @@ def _raster_tile_gbuf_kernel(
     best_z[:] = jnp.full((p, 1), 0x7FFFFFFF, jnp.int32)  # packed (z|lane) key
     best_id[:] = jnp.full((p, 1), -1, jnp.int32)  # -1 = BACKGROUND
     best_f[:] = jnp.zeros_like(best_f)
-    zf = zfloor_ref[:].reshape(p, 1) if has_zfloor else None
+    zf = zfloor_ref[0] if has_zfloor else None  # (P, 1) pre-flattened
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -545,7 +548,7 @@ def rasterize_binned(
     if z_floor is not None:
         in_specs.append(
             pl.BlockSpec(
-                (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, p, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             )
         )
         operands.append(_tile_zfloor(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w))
@@ -734,7 +737,7 @@ def rasterize_binned_gbuffer(
     if z_floor is not None:
         in_specs.append(
             pl.BlockSpec(
-                (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, p, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             )
         )
         operands.append(
@@ -785,6 +788,10 @@ def rasterize_binned_gbuffer(
             jax.ShapeDtypeStruct((ntiles, p, num_ch), jnp.float32),
         ],
         grid_spec=grid_spec,
+        # The 15-channel textured variant's temporaries exceed Mosaic's
+        # default 16 MB scoped-vmem stack at 16-row tiles (18.2 MB measured
+        # round 4); raise the cap instead of shrinking tiles.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(
         binned.starts,
@@ -1573,6 +1580,7 @@ def raster_shade(
     tile_h: int = 4,
     tile_w: int = 128,
     max_span: int = 16,
+    big_cap: int | None = None,
     big2_span: int = 0,
     big2_cap: int | None = None,
     cull_backface: bool = True,
@@ -1606,6 +1614,7 @@ def raster_shade(
         tile_h=tile_h,
         tile_w=tile_w,
         max_span=max_span,
+        big_cap=big_cap,
         big2_span=big2_span,
         big2_cap=big2_cap,
         cull_backface=cull_backface,
@@ -1715,6 +1724,7 @@ def raster_shade_ibl(
     tile_h: int = 4,
     tile_w: int = 128,
     max_span: int = 16,
+    big_cap: int | None = None,
     big2_span: int = 0,
     big2_cap: int | None = None,
     cull_backface: bool = True,
@@ -1746,6 +1756,7 @@ def raster_shade_ibl(
         tile_h=tile_h,
         tile_w=tile_w,
         max_span=max_span,
+        big_cap=big_cap,
         big2_span=big2_span,
         big2_cap=big2_cap,
         cull_backface=cull_backface,
@@ -1845,6 +1856,7 @@ def raster_gbuffer(
     tile_h: int = 16,
     tile_w: int = 128,
     max_span: int = 8,
+    big_cap: int | None = None,
     big2_span: int = 0,
     big2_cap: int | None = None,
     cull_backface: bool = True,
@@ -1878,6 +1890,7 @@ def raster_gbuffer(
             tile_h=tile_h,
             tile_w=tile_w,
             max_span=max_span,
+            big_cap=big_cap,
             big2_span=big2_span,
             big2_cap=big2_cap,
             cull_backface=cull_backface,

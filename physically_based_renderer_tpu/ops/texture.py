@@ -264,8 +264,11 @@ def _sample_stacked_level(
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
     if wrap:
-        x0w, x1w = jnp.mod(x0, sl), jnp.mod(x0 + 1, sl)
-        y0w, y1w = jnp.mod(y0, sl), jnp.mod(y0 + 1, sl)
+        # per-pixel power-of-two level size: mask, not mod (no TPU vector
+        # integer division — see texture_combined._level_quad_indices)
+        m = sl - 1
+        x0w, x1w = x0 & m, (x0 + 1) & m
+        y0w, y1w = y0 & m, (y0 + 1) & m
     else:
         x0w, x1w = jnp.clip(x0, 0, sl - 1), jnp.clip(x0 + 1, 0, sl - 1)
         y0w, y1w = jnp.clip(y0, 0, sl - 1), jnp.clip(y0 + 1, 0, sl - 1)

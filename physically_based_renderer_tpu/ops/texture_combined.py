@@ -586,8 +586,12 @@ def _level_quad_indices(n: int, s: int, sl, page, uv, wrap: bool):
     x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
     y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
     if wrap:
-        x0w, x1w = jnp.mod(x0, sl), jnp.mod(x0 + 1, sl)
-        y0w, y1w = jnp.mod(y0, sl), jnp.mod(y0 + 1, sl)
+        # sl is a power of two but PER-PIXEL (mip level): wrap via bit mask —
+        # vector integer mod by a dynamic divisor has no TPU lowering and
+        # cost the whole lod path ~2.5× (round-4 measurement).
+        m = sl - 1
+        x0w, x1w = x0 & m, (x0 + 1) & m
+        y0w, y1w = y0 & m, (y0 + 1) & m
     else:
         # clamp emulation on wrapped quad rows (duplicate-edge-texel filter)
         hi = jnp.maximum(sl - 2, 0)

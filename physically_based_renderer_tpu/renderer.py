@@ -325,7 +325,21 @@ def render(
     if rows is None:
         rows = height
     if mip_lod is None:
-        mip_lod = scene.atlas is not None
+        # Default trilinear mip filtering ON for textured scenes whose
+        # texture tables keep it affordable: 1080p row-gather cost scales
+        # with TABLE footprint (≈7 ms/2M rows for ≤16 MB tables, 49-110 ms
+        # at 126-503 MB — PERF.md round-4 gather law), and the stacked
+        # trilinear pyramid doubles both the gather count and the table, so
+        # for multi-megatexel atlases the default stays 1-mip (pass
+        # mip_lod=True to force quality over speed).
+        texels = 0
+        src = scene.combined_atlas if scene.combined_atlas is not None else scene.atlas
+        if src is not None:
+            npages = getattr(src, "num_pages", None)
+            if npages is None:
+                npages = src.pages.shape[0] if hasattr(src, "pages") else 1
+            texels = npages * src.size * src.size
+        mip_lod = scene.atlas is not None and texels <= (1 << 20)
     # Corner-major geometry (models/scene.py CornerGeometry): the hot path
     # carries no vertex indices, so raster setup / binning / interpolation
     # run gather-free. Static channel specialisation (the shader-permutation
@@ -345,6 +359,20 @@ def render(
     # in VMEM (one DMA for the whole frame instead of one per tile).
     num_tris = geom.pos_w.shape[0]
     span_wide = num_tris <= (1 << 15)
+    # Resolution scaling: (tile, triangle) pair counts and on-screen spans
+    # grow ~linearly with pixel count, so at super-1080p resolutions
+    # (render_ssaa renders 4× pixels) the default pairs cap would silently
+    # drop triangles and mid-size triangles would flood the jumbo class
+    # (measured: 4K ssaa at the 1080p defaults ran 2.6 s/frame).
+    res_scale = max(1, (width * height) // (1 << 21))
+    if raster_pairs_cap is None and res_scale > 1:
+        raster_pairs_cap = max(num_tris, 1 << 16) * (res_scale + 1)
+    ms_scale = 2 if res_scale >= 2 else 1
+    # At ≥2× the 1080p pixel count the big class floods its ranked cap and
+    # spills to jumbo (a 4K run spilled ~126k pairs into the global run =
+    # 2.6 s/frame); emit the whole class densely instead — the bigger sort
+    # is linear, the jumbo rescan is ntiles×.
+    bin_big_cap = num_tris if res_scale >= 2 else None
 
     sky_src0 = scene.sky_map if scene.sky_map is not None else scene.env_map
     ibl_fusable = (
@@ -412,7 +440,8 @@ def render(
             y_offset=y_offset,
             tile_h=tile_h if tile_h is not None else 4,
             tile_w=tile_w,
-            max_span=64 if span_wide else 16,
+            max_span=(64 if span_wide else 16) * ms_scale,
+            big_cap=bin_big_cap,
             cull_backface=cull_backface,
             num_materials=materials.num_materials,
             num_dir=lights.num_dir,
@@ -501,7 +530,8 @@ def render(
             y_offset=y_offset,
             tile_h=tile_h if tile_h is not None else 4,
             tile_w=tile_w,
-            max_span=64 if span_wide else 16,
+            max_span=(64 if span_wide else 16) * ms_scale,
+            big_cap=bin_big_cap,
             cull_backface=cull_backface,
             num_materials=materials.num_materials,
             num_dir=lights.num_dir,
@@ -544,10 +574,6 @@ def render(
         elif fused_gbuf:
             # Fused raster + G-buffer kernel: attrs come straight out of the
             # raster pass (plane-evaluated in VMEM), no per-pixel XLA gather.
-            # Textured scenes carry 15 interpolation channels: at 16-row
-            # tiles (P=2048) the kernel's Mosaic VMEM stack overflows the
-            # 16 MB scoped limit (measured 18.2 MB, round 4) — 8-row tiles
-            # halve every (P,·) temporary.
             attrs, depth, tri_id, pix_mat_k = raster_pallas.raster_gbuffer(
                 clip,
                 packed,
@@ -557,9 +583,10 @@ def render(
                 height=height,
                 rows=rows,
                 y_offset=y_offset,
-                tile_h=tile_h if tile_h is not None else (8 if textured else 16),
+                tile_h=tile_h if tile_h is not None else 16,
                 tile_w=tile_w,
-                max_span=64 if span_wide else 8,
+                max_span=(64 if span_wide else 8) * ms_scale,
+                big_cap=bin_big_cap,
                 cull_backface=cull_backface,
                 num_materials=scene.materials.num_materials,
                 pairs_cap=raster_pairs_cap,
@@ -578,7 +605,8 @@ def render(
                 y_offset=y_offset,
                 tile_h=tile_h if tile_h is not None else 16,
                 tile_w=tile_w,
-                max_span=64 if span_wide else 8,
+                max_span=(64 if span_wide else 8) * ms_scale,
+                big_cap=bin_big_cap,
                 cull_backface=cull_backface,
                 face_material=geom.face_material,
                 num_materials=scene.materials.num_materials,
