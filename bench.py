@@ -3,8 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 
 The headline metric is the NORTH-STAR workload — mori_knob + Chelsea_Stairs
-IBL, textured, 1080p, forward+backward — when assets are present, falling
-back to the analytic sphere grid otherwise. ``configs`` carries every
+IBL at 1080p, forward+backward (mori_knob's MTL binds no texture maps: 5
+analytic materials + full IBL) — when assets are present, falling back to
+the analytic sphere grid otherwise. Textured throughput is covered by the
+``pbr_textured_*`` configs and ``rustediron_ibl`` (textured sphere + sIBL
+environment, the reference's own ``Samples/rusted_iron_pbr.png`` content). ``configs`` carries every
 BASELINE config measured this run (pixels/s each), plus the single-chip
 sharded-vs-unsharded overhead ratio (the available scaling proxy on a
 1-chip host).
@@ -113,6 +116,43 @@ def time_sharded_overhead(scene, camera, iters=ITERS):
     return loop(shmap) / loop(plain)
 
 
+def time_tri_sharded_overhead(scene, camera, iters=ITERS):
+    """Single-chip triangle-sharded render vs plain render — the primitive-
+    parallel (ring/sequence-parallel analog) overhead proxy. The tri path
+    pays for its structure (id-only raster + ring attribute interpolation +
+    fused shading) even at n=1; this ratio tracks how close that structure
+    sits to the fully-fused single-chip fast path."""
+    from physically_based_renderer_tpu.parallel import sharded
+    from physically_based_renderer_tpu.renderer import render
+
+    mesh = sharded.make_tri_mesh(jax.devices()[:1])
+
+    def plain(sc, cam):
+        return render(sc, cam, width=WIDTH, height=HEIGHT)[..., 0].sum()
+
+    def tri(sc, cam):
+        return sharded.render_tri_sharded(
+            sc, cam, mesh=mesh, width=WIDTH, height=HEIGHT
+        )[..., 0].sum()
+
+    def loop(fn):
+        @jax.jit
+        def run(sc, cam):
+            def body(carry, _):
+                cam2 = dataclasses.replace(cam, position=cam.position + carry * 0.0)
+                return carry + fn(sc, cam2) * 0.0 + 1e-12, None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return acc
+
+        float(run(scene, camera))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(scene, camera))
+        return (time.perf_counter() - t0) / iters
+
+    return loop(tri) / loop(plain)
+
+
 def time_sharded_train_overhead(scene, camera, iters=ITERS):
     """Single-chip shard_map TRAIN-STEP vs plain fwd+bwd step — the proxy
     that includes the scaling-relevant backward psum gradient all-reduce
@@ -183,6 +223,10 @@ def _run_config(name: str) -> None:
         scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
         cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
         value = time_sharded_train_overhead(scene, cam)
+    elif name == "tri_sharded_overhead_1chip":
+        scene = scenes.red_sphere_grid_scene(slices=64, stacks=32)
+        cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
+        value = time_tri_sharded_overhead(scene, cam)
     elif name == "pbr_textured_f32":
         # mode="quad": f32 QUAD-packed pages — ONE row gather per sample
         # with bit-exact f32 forward AND exact texel gradients (the same
@@ -195,6 +239,17 @@ def _run_config(name: str) -> None:
         assets = scenes.AssetCache()
         scene = scenes.pbr_scene(assets=assets).with_combined_textures(mode="half")
         cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=WIDTH / HEIGHT)
+        value = time_fwd_bwd(scene, cam)
+    elif name == "rustediron_ibl":
+        # Textured + IBL — the reference's own Samples/rusted_iron_pbr.png
+        # content (BASELINE configs 3+5): rustediron maps on a sphere against
+        # the Chelsea_Stairs sIBL environment. Rides pallas_gbuf + the merged
+        # spec/sky gather (render ibl_merged auto).
+        assets = scenes.AssetCache()
+        scene = scenes.rustediron_sphere_scene(
+            assets=assets, environment="chelsea_stairs"
+        ).with_ibl().with_combined_textures(mode="quad")
+        cam = Camera.create(position=(0.0, 0.0, -2.5), aspect=WIDTH / HEIGHT)
         value = time_fwd_bwd(scene, cam)
     elif name == "mori_knob_ibl":
         # mori_knob's MTL binds no texture maps (5 scalar materials) — IBL
@@ -216,8 +271,10 @@ CONFIGS = [
     "sphere_grid_analytic",
     "sharded_overhead_1chip",
     "sharded_train_overhead_1chip",
+    "tri_sharded_overhead_1chip",
     "pbr_textured_f32",
     "pbr_textured_half",
+    "rustediron_ibl",
     "mori_knob_ibl",
 ]
 
@@ -247,6 +304,7 @@ def main() -> None:
             "sphere_grid_analytic",
             "sharded_overhead_1chip",
             "sharded_train_overhead_1chip",
+            "tri_sharded_overhead_1chip",
         ):
             continue
         try:
@@ -264,7 +322,7 @@ def main() -> None:
 
     northstar = results.get("mori_knob_ibl")
     if isinstance(northstar, (int, float)):
-        metric = "1080p mori_knob+IBL textured pixels/s/chip (fwd+bwd)"
+        metric = "1080p mori_knob+IBL pixels/s/chip (fwd+bwd)"
         value = northstar
     else:
         metric = "1080p shaded pixels/s/chip (fwd+bwd, analytic grid)"

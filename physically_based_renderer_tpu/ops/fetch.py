@@ -41,8 +41,13 @@ def fetch_columns(table: jnp.ndarray, mid: jnp.ndarray) -> jnp.ndarray:
     Exact forward (gather for big tables, exact one-hot MXU matmul for small
     ones — the common material-bank case); backward scatters cotangents into
     the table as a one-hot MXU matmul instead of an HLO scatter.
-    Differentiable w.r.t. ``table``; ``mid`` is integer (no gradient)."""
+    Differentiable w.r.t. ``table``; ``mid`` is integer (no gradient).
+
+    Out-of-range ids are clamped to [0, M) up front so the gather and
+    one-hot paths agree (XLA's gather clamps; a raw one-hot would return
+    zeros for out-of-range ids — semantics must not fork on table size)."""
     m, k = table.shape
+    mid = jnp.clip(mid, 0, m - 1)
 
     def forward(t, i):
         if (

@@ -73,7 +73,12 @@ def _backend_supports_callbacks() -> bool:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BinnedTris:
-    """Sorted (tile → triangles) binning + packed per-pair kernel data."""
+    """Sorted (tile → triangles) binning + packed per-pair kernel data.
+
+    ``packed`` is field-major (NUM_FIELDS, PAIRS+pad) by default; with
+    ``bin_triangles(pair_major=True)`` it is PAIR-major (PAIRS+pad, NF) —
+    the layout the row-layout kernels (``ops/raster_row``) DMA, where a
+    sub-chunk of pairs lands on sublanes and fields on lanes."""
 
     packed: jnp.ndarray  # (NUM_FIELDS, PAIRS + chunk_pad) f32, field-major
     pair_tri: jnp.ndarray  # (PAIRS + chunk_pad,) i32 triangle ids (sentinel -1)
@@ -140,6 +145,42 @@ def pack_triangle_fields(
     return out
 
 
+def check_binning_invariants(binned: "BinnedTris", num_tris: int) -> None:
+    """On-device validation of the binning contract (the SURVEY §5 checkify
+    plan — the D3D12-debug-layer analog for the raster path). Must run under
+    ``jax.experimental.checkify.checkify``; each violated invariant raises
+    loudly through ``err.throw()``:
+
+      * pair-cap occupancy — no silent overflow (dropped triangles),
+      * run bounds — ``starts`` monotone, within the pair array, jumbo
+        count non-negative (every range the kernel DMAs is in bounds),
+      * pair payload — triangle ids within [−1, T).
+    """
+    from jax.experimental import checkify
+
+    starts = binned.starts
+    pairs = binned.pair_tri.shape[0]
+    checkify.check(
+        jnp.logical_not(binned.overflowed),
+        "raster binning overflow: pair cap exceeded, triangles dropped "
+        "(raise raster_pairs_cap)",
+    )
+    checkify.check(
+        jnp.all(starts[1:] >= starts[:-1]),
+        "binning run bounds corrupt: starts not monotone",
+    )
+    checkify.check(
+        (starts[0] >= 0) & (starts[-1] <= pairs),
+        "binning run bounds out of range: jumbo={j} end={e} pairs=" + str(pairs),
+        j=starts[0],
+        e=starts[-1],
+    )
+    checkify.check(
+        jnp.all((binned.pair_tri >= -1) & (binned.pair_tri < num_tris)),
+        "binning pair payload corrupt: triangle id out of [-1, T)",
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -155,6 +196,7 @@ def pack_triangle_fields(
         "big2_span",
         "big2_cap",
         "bbox_margin_px",
+        "pair_major",
     ),
 )
 def bin_triangles(
@@ -175,6 +217,7 @@ def bin_triangles(
     big2_span: int = 0,
     big2_cap: int | None = None,
     bbox_margin_px: float = 0.0,
+    pair_major: bool = False,
 ) -> BinnedTris:
     """Bin into the tile grid of the row band [y_offset, y_offset+rows) of a
     width×height viewport (full frame by default)."""
@@ -399,8 +442,12 @@ def bin_triangles(
         st, face_material, corner_channels, normalize_edges=bbox_margin_px > 0.0
     )  # (T, NF)
     safe_tri = jnp.maximum(sorted_tri, 0)
-    packed = fields[safe_tri].T  # (NUM_FIELDS, PAIRS)
-    packed = jnp.pad(packed, ((0, 0), (0, chunk)))
+    if pair_major:
+        packed = fields[safe_tri]  # (PAIRS, NF) — row-layout kernel input
+        packed = jnp.pad(packed, ((0, chunk), (0, 0)))
+    else:
+        packed = fields[safe_tri].T  # (NUM_FIELDS, PAIRS)
+        packed = jnp.pad(packed, ((0, 0), (0, chunk)))
     sorted_tri = jnp.pad(sorted_tri, (0, chunk), constant_values=-1)
 
     return BinnedTris(

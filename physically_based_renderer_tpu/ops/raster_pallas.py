@@ -60,6 +60,11 @@ _PRECISIONS = {
     "high": jax.lax.Precision.HIGH,  # 3 passes (~6 digits, near-f32)
     "highest": jax.lax.Precision.HIGHEST,  # 6 passes (full f32)
 }
+# mm_precision only perturbs interpolated ATTRIBUTES (~0.4% at "default").
+# Triangle/material ids are integer-exact at every setting: at "highest"
+# they ride the extraction matmul (1.0·id products recover f32 exactly for
+# ids < 2^24); at lower precisions the kernels recover them with a separate
+# integer min-reduction instead (bf16 would round ids above a few hundred).
 
 
 def _raster_tile_kernel(
@@ -295,34 +300,70 @@ def _raster_tile_gbuf_kernel(
         # PACKED-KEY resolve: one cross-lane min instead of three — see the
         # fused shade kernel's eval_chunk for the scheme and its depth-test
         # quantization bound. Winner-field extraction as a one-hot MXU
-        # matmul (HIGHEST reproduces f32 attributes exactly; the winner's
-        # triangle id rides as an appended field row, exact for ids < 2^24).
+        # matmul (HIGHEST reproduces f32 attributes exactly). Ids stay
+        # integer-exact at EVERY mm_precision: at HIGHEST the triangle id
+        # rides the matmul as an appended field row (exact for ids < 2^24);
+        # below HIGHEST they come from a separate integer min-reduction
+        # instead (bf16 passes would round large ids).
         zbits = jax.lax.bitcast_convert_type(z, jnp.int32)
         key = jnp.where(
             ok, (zbits & jnp.int32(~0x7F)) | lane, jnp.int32(0x7F800000)
         )
         kmin = jnp.min(key, axis=1, keepdims=True)  # (P, 1)
         onehot = (key == kmin).astype(jnp.float32)
-        fext = jnp.concatenate([f, tid.astype(jnp.float32)], axis=0)
+        exact_matmul_ids = mm_precision == jax.lax.Precision.HIGHEST
+        if exact_matmul_ids:
+            fext = jnp.concatenate([f, tid.astype(jnp.float32)], axis=0)
+        else:
+            fext = f
         cand = jax.lax.dot_general(
             onehot,
             fext,
             (((1,), (1,)), ((), ())),
             precision=mm_precision,
             preferred_element_type=jnp.float32,
-        )  # (P, NF+1)
+        )  # (P, NF[+1])
 
-        better = (kmin < jnp.int32(0x7F800000)) & (kmin < best_z[:])
-        win_tid = cand[:, -1:].astype(jnp.int32)
-        if mat_stride > 1:
-            win_id = win_tid * mat_stride + cand[
-                :, FIELD_MATERIAL : FIELD_MATERIAL + 1
-            ].astype(jnp.int32)
+        # Cross-chunk merge compares QUANTIZED depth only (lane bits are
+        # chunk-local): strict < keeps the earlier chunk's winner on a
+        # quantized tie, so ties resolve first-drawn-wins across chunk
+        # boundaries too (pairs sort by tri id = draw order; the one
+        # deviation: the jumbo run is processed before a tile's own run,
+        # so a sub-quantum tie between a jumbo and an own-run triangle
+        # resolves to the jumbo regardless of id order).
+        QMASK = jnp.int32(~0x7F)
+        better = (kmin < jnp.int32(0x7F800000)) & (
+            (kmin & QMASK) < (best_z[:] & QMASK)
+        )
+        if exact_matmul_ids:
+            win_tid = cand[:, -1:].astype(jnp.int32)
+            if mat_stride > 1:
+                win_id = win_tid * mat_stride + cand[
+                    :, FIELD_MATERIAL : FIELD_MATERIAL + 1
+                ].astype(jnp.int32)
+            else:
+                win_id = win_tid
+            attrs_cand = cand[:, :-1]
         else:
-            win_id = win_tid
+            if mat_stride > 1:
+                code = tid * mat_stride + f[
+                    FIELD_MATERIAL : FIELD_MATERIAL + 1, :
+                ].astype(jnp.int32)
+            else:
+                code = tid
+            win_id = jnp.min(
+                jnp.where(
+                    key == kmin,
+                    jnp.broadcast_to(code, key.shape),
+                    jnp.int32(0x7FFFFFFF),
+                ),
+                axis=1,
+                keepdims=True,
+            )
+            attrs_cand = cand
         best_z[:] = jnp.where(better, kmin, best_z[:])
         best_id[:] = jnp.where(better, win_id, best_id[:])
-        best_f[:] = jnp.where(better, cand[:, :-1], best_f[:])
+        best_f[:] = jnp.where(better, attrs_cand, best_f[:])
 
     def process_range(lo, hi):
         lo_a = (lo // CHUNK) * CHUNK
@@ -927,8 +968,11 @@ def _raster_tile_shade_kernel(
         id, so lane order IS draw order). The 7 sacrificed mantissa bits
         quantize the depth TEST to ~1e-5 relative — winner flips need two
         surfaces within that distance, where the interpolated attributes
-        agree to the same order. The winner's triangle id rides the
-        extraction matmul as an appended field row (exact for ids < 2^24)."""
+        agree to the same order (tested: test_raster_pallas.py depth-
+        quantization contract). Across chunks the merge compares quantized
+        depth only, so ties stay first-drawn-wins there too. Ids are
+        integer-exact at every mm_precision (appended matmul field row at
+        HIGHEST, integer min-reduction below)."""
         dx = px - f[9:10, :]  # (P, CHUNK)
         dy = py - f[10:11, :]
         e0 = dx * f[0:1, :] + dy * f[3:4, :] + f[6:7, :]
@@ -945,26 +989,52 @@ def _raster_tile_shade_kernel(
         )
         kmin = jnp.min(key, axis=1, keepdims=True)  # (P, 1) — THE reduction
         onehot = (key == kmin).astype(jnp.float32)  # exactly one lane (id bits)
-        fext = jnp.concatenate([f, tid.astype(jnp.float32)], axis=0)
+        exact_matmul_ids = mm_precision == jax.lax.Precision.HIGHEST
+        if exact_matmul_ids:
+            fext = jnp.concatenate([f, tid.astype(jnp.float32)], axis=0)
+        else:
+            fext = f
         cand = jax.lax.dot_general(
             onehot,
             fext,
             (((1,), (1,)), ((), ())),
             precision=mm_precision,
             preferred_element_type=jnp.float32,
-        )  # (P, NF+1) — winner's field row + its triangle id
+        )  # (P, NF[+1]) — winner's field row (+ its triangle id)
 
-        better = (kmin < jnp.int32(0x7F800000)) & (kmin < best_z[:])
-        win_tid = cand[:, -1:].astype(jnp.int32)
-        if mat_stride > 1:
-            win_id = win_tid * mat_stride + cand[
-                :, FIELD_MATERIAL : FIELD_MATERIAL + 1
-            ].astype(jnp.int32)
+        QMASK = jnp.int32(~0x7F)
+        better = (kmin < jnp.int32(0x7F800000)) & (
+            (kmin & QMASK) < (best_z[:] & QMASK)
+        )
+        if exact_matmul_ids:
+            win_tid = cand[:, -1:].astype(jnp.int32)
+            if mat_stride > 1:
+                win_id = win_tid * mat_stride + cand[
+                    :, FIELD_MATERIAL : FIELD_MATERIAL + 1
+                ].astype(jnp.int32)
+            else:
+                win_id = win_tid
+            attrs_cand = cand[:, :-1]
         else:
-            win_id = win_tid
+            if mat_stride > 1:
+                code = tid * mat_stride + f[
+                    FIELD_MATERIAL : FIELD_MATERIAL + 1, :
+                ].astype(jnp.int32)
+            else:
+                code = tid
+            win_id = jnp.min(
+                jnp.where(
+                    key == kmin,
+                    jnp.broadcast_to(code, key.shape),
+                    jnp.int32(0x7FFFFFFF),
+                ),
+                axis=1,
+                keepdims=True,
+            )
+            attrs_cand = cand
         best_z[:] = jnp.where(better, kmin, best_z[:])
         best_id[:] = jnp.where(better, win_id, best_id[:])
-        best_f[:] = jnp.where(better, cand[:, :-1], best_f[:])
+        best_f[:] = jnp.where(better, attrs_cand, best_f[:])
 
     def process_range(lo, hi):
         lo_a = (lo // CHUNK) * CHUNK
@@ -1365,6 +1435,220 @@ BWD_BW = 128  # pixel-block lanes (MUST be 128: the in-kernel material fetch
 #               one 128-lane span)
 
 
+def _kernel_material_props(mat_ref, mat_id, bh, bw):
+    """Material fetch for the standalone shading kernels: table column k →
+    lane row via take_along_axis (the Mosaic-supported dynamic-gather form,
+    one ≤128-lane span per gather; >128-row tables tile across masked
+    spans). Returns a 9-tuple of (BH, BW) property planes."""
+    mat_t = jnp.swapaxes(mat_ref[:], 0, 1)  # (Kpad, Mpad)
+    nspans = mat_t.shape[1] // BWD_BW
+    if nspans == 1:
+        return tuple(
+            jnp.take_along_axis(
+                jnp.broadcast_to(mat_t[k : k + 1, :], (bh, bw)), mat_id, axis=1
+            )
+            for k in range(9)
+        )
+    props_l = []
+    for k in range(9):
+        acc = None
+        for s in range(nspans):
+            lo = s * BWD_BW
+            local = jnp.clip(mat_id - lo, 0, BWD_BW - 1)
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(mat_t[k : k + 1, lo : lo + BWD_BW], (bh, bw)),
+                local,
+                axis=1,
+            )
+            gsel = jnp.where((mat_id >= lo) & (mat_id < lo + BWD_BW), g, 0.0)
+            acc = gsel if acc is None else acc + gsel
+        props_l.append(acc)
+    return tuple(props_l)
+
+
+def _shade_fwd_kernel(
+    attrs_ref,  # (6, BH, BW) f32 — [pos_w, normal_w] planes
+    ids_ref,  # (2, BH, BW) i32 — [mat_id, hit]
+    mat_ref,  # (Mpad, Kpad) f32 VMEM
+    uni_ref,  # (1, Upad) f32 VMEM
+    out_ref,  # (C_out, BH, BW) f32
+    *,
+    num_dir: int,
+    num_point: int,
+    num_spot: int,
+    ibl: bool,
+    apply_tonemap: bool,
+):
+    """Standalone fused shading FORWARD over a prepared G-buffer band — the
+    shading half of the fused raster+shade kernel for paths that already
+    resolved attributes elsewhere (the triangle-sharded ring exchange,
+    ``parallel.sharded.render_tri_sharded``). Shares ``shade_core`` with the
+    fused forward and backward kernels, so all three can never drift."""
+    mat_id = ids_ref[0]
+    hit = ids_ref[1] > 0
+    bh, bw = mat_id.shape
+    props = _kernel_material_props(mat_ref, mat_id, bh, bw)
+    pos = tuple(attrs_ref[c] for c in range(3))
+    nrm = tuple(attrs_ref[c] for c in range(3, 6))
+    outs = shade_core(
+        pos,
+        nrm,
+        props,
+        uni_ref[:],
+        num_dir=num_dir,
+        num_point=num_point,
+        num_spot=num_spot,
+        ibl=ibl,
+        apply_tonemap=apply_tonemap,
+    )
+    for c, o in enumerate(outs):
+        out_ref[c] = jnp.where(hit, o, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_dir", "num_point", "num_spot", "ibl", "apply_tonemap", "interpret",
+    ),
+)
+def shade_forward(
+    attrs: jnp.ndarray,  # (rows, W, 6) [pos_w, normal_w]
+    mat_id: jnp.ndarray,  # (rows, W) i32
+    hit: jnp.ndarray,  # (rows, W) bool
+    mat_props: jnp.ndarray,  # (M, K ≥ 9)
+    uni: jnp.ndarray,  # (1, U) pack_shading_uniforms row
+    *,
+    num_dir: int,
+    num_point: int,
+    num_spot: int,
+    ibl: bool = False,
+    apply_tonemap: bool = True,
+    interpret: bool = False,
+):
+    """Run the fused shading-forward kernel over a frame band. Returns
+    (rows, W, C_out) channels (zeros at background). NOT differentiable —
+    see :func:`shade_fused`."""
+    rows, w, _ = attrs.shape
+    c_out = num_output_channels(ibl)
+    m, k = mat_props.shape
+    rows_p = _round_up_int(rows, BWD_BH)
+    w_p = _round_up_int(w, BWD_BW)
+
+    def pad_hw(x):
+        return jnp.pad(x, ((0, rows_p - rows), (0, w_p - w)) + ((0, 0),) * (x.ndim - 2))
+
+    attrs_t = jnp.transpose(pad_hw(attrs), (2, 0, 1))  # (6, rows_p, w_p)
+    ids_t = jnp.stack([pad_hw(mat_id), pad_hw(hit).astype(jnp.int32)])
+
+    kpad = max(8, _round_up_int(k, 8))
+    mpad = max(BWD_BW, _round_up_int(m, BWD_BW))
+    mat_table = jnp.zeros((mpad, kpad), jnp.float32)
+    mat_table = jax.lax.dynamic_update_slice(mat_table, mat_props, (0, 0))
+    u = uni.shape[-1]
+    upad = max(128, _round_up_int(u, 8))
+    uni_p = jnp.pad(uni, ((0, 0), (0, upad - u)))
+
+    gy = rows_p // BWD_BH
+    gx = w_p // BWD_BW
+
+    def plane_spec(c):
+        return pl.BlockSpec(
+            (c, BWD_BH, BWD_BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _shade_fwd_kernel,
+            num_dir=num_dir,
+            num_point=num_point,
+            num_spot=num_spot,
+            ibl=ibl,
+            apply_tonemap=apply_tonemap,
+        ),
+        grid=(gy, gx),
+        in_specs=[
+            plane_spec(6),
+            plane_spec(2),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=plane_spec(c_out),
+        out_shape=jax.ShapeDtypeStruct((c_out, rows_p, w_p), jnp.float32),
+        interpret=interpret,
+    )(attrs_t, ids_t, mat_table, uni_p)
+    return jnp.transpose(out, (1, 2, 0))[:rows, :w]
+
+
+def shade_fused(
+    attrs: jnp.ndarray,  # (rows, W, 6) [pos_w, normal_w] — differentiable
+    mat_id: jnp.ndarray,  # (rows, W) i32
+    hit: jnp.ndarray,  # (rows, W) bool
+    mat_props: jnp.ndarray,  # (M, K ≥ 9) — differentiable
+    light_strength: jnp.ndarray,
+    light_direction: jnp.ndarray,
+    light_position: jnp.ndarray,
+    light_spot_power: jnp.ndarray,
+    ambient: jnp.ndarray,
+    eye: jnp.ndarray,
+    *,
+    num_dir: int,
+    num_point: int,
+    num_spot: int,
+    apply_tonemap: bool = True,
+    interpret: bool = False,
+):
+    """Differentiable standalone fused shading (custom VJP): forward =
+    :func:`shade_forward` kernel, backward = :func:`shade_backward` kernel
+    (recompute-in-bwd) + the one-hot table-grad contraction. The PS stage of
+    ``Default.hlsl:47-161`` for paths with a pre-resolved G-buffer — the
+    triangle-sharded renderer's shading now rides the SAME fused kernels as
+    the row-band path (VERDICT r4 ask #5). Untextured, non-IBL.
+
+    Returns (rows, W, 4) display-encoded RGBA channels (zeros at
+    background)."""
+
+    @jax.custom_vjp
+    def f(attrs_, table, ls, ld, lp, lsp, amb, ey):
+        uni = pack_shading_uniforms(ls, ld, lp, lsp, amb, ey, None)
+        return shade_forward(
+            attrs_, mat_id, hit, table, uni,
+            num_dir=num_dir, num_point=num_point, num_spot=num_spot,
+            ibl=False, apply_tonemap=apply_tonemap, interpret=interpret,
+        )
+
+    def fwd(attrs_, table, ls, ld, lp, lsp, amb, ey):
+        return f(attrs_, table, ls, ld, lp, lsp, amb, ey), (
+            attrs_, table, ls, ld, lp, lsp, amb, ey,
+        )
+
+    def bwd(res, g):
+        attrs_, table, ls, ld, lp, lsp, amb, ey = res
+        uni = pack_shading_uniforms(ls, ld, lp, lsp, amb, ey, None)
+        g_chan = jnp.where(hit[..., None], g, 0.0)
+        g_attrs, g_props, g_uni = shade_backward(
+            g_chan, attrs_, mat_id, hit, table, uni,
+            num_dir=num_dir, num_point=num_point, num_spot=num_spot,
+            ibl=False, apply_tonemap=apply_tonemap, interpret=interpret,
+        )
+        g_table = _scatter_props_by_id(
+            jnp.where(hit[..., None], g_props, 0.0),
+            mat_id,
+            table.shape[0],
+            table.shape[1],
+        )
+        nl = ls.shape[0]
+        g_ls, g_ld, g_lp, g_lsp, g_amb, g_ey, _ = unpack_uniform_grads(
+            g_uni, nl, False
+        )
+        return g_attrs, g_table, g_ls, g_ld, g_lp, g_lsp, g_amb, g_ey
+
+    f.defvjp(fwd, bwd)
+    return f(
+        attrs, mat_props, light_strength, light_direction, light_position,
+        light_spot_power, ambient, eye,
+    )
+
+
 def _shade_bwd_kernel(
     g_ref,  # (C_out, BH, BW) f32 — output-channel cotangent planes
     attrs_ref,  # (6, BH, BW) f32 — residual [pos_w, normal_w] planes
@@ -1401,17 +1685,7 @@ def _shade_bwd_kernel(
     mat_id = ids_ref[0]  # (BH, BW)
     hit = ids_ref[1] > 0
     bh, bw = mat_id.shape
-
-    # Material fetch: table column k → lane row, one dynamic-gather per
-    # column. take_along_axis along lanes is the Mosaic-supported
-    # tpu.dynamic_gather form (operand and indices same (BH, 128) shape).
-    mat_t = jnp.swapaxes(mat_ref[:], 0, 1)  # (Kpad, 128)
-    props = tuple(
-        jnp.take_along_axis(
-            jnp.broadcast_to(mat_t[k : k + 1, :], (bh, bw)), mat_id, axis=1
-        )
-        for k in range(9)
-    )
+    props = _kernel_material_props(mat_ref, mat_id, bh, bw)
 
     pos = tuple(attrs_ref[c] for c in range(3))
     nrm = tuple(attrs_ref[c] for c in range(3, 6))
@@ -1475,7 +1749,6 @@ def shade_backward(
     rows, w, c_out = g_chan.shape
     assert c_out == num_output_channels(ibl)
     m, k = mat_props.shape
-    assert m <= 128, "shade_backward needs num_materials <= 128"
     rows_p = _round_up_int(rows, BWD_BH)
     w_p = _round_up_int(w, BWD_BW)
 
@@ -1487,7 +1760,8 @@ def shade_backward(
     ids_t = jnp.stack([pad_hw(mat_id), pad_hw(hit).astype(jnp.int32)])  # (2,...)
 
     kpad = max(8, _round_up_int(k, 8))
-    mat_table = jnp.zeros((128, kpad), jnp.float32)
+    mpad = max(BWD_BW, _round_up_int(m, BWD_BW))
+    mat_table = jnp.zeros((mpad, kpad), jnp.float32)
     mat_table = jax.lax.dynamic_update_slice(mat_table, mat_props, (0, 0))
     u = uni.shape[-1]
     upad = max(128, _round_up_int(u, 8))
@@ -1592,6 +1866,7 @@ def raster_shade(
     pairs_cap: int | None = None,
     interpret: bool = False,
     mm_precision: str = "highest",
+    row_layout: bool = False,
 ):
     """Differentiable fully-fused raster+shade (custom VJP).
 
@@ -1604,8 +1879,17 @@ def raster_shade(
     interpolation (``raster.interpolate_corners``) — which XLA dead-code-
     eliminates whenever only parameter gradients are consumed.
 
+    ``row_layout=True`` swaps in the round-5 row-layout kernel
+    (``ops/raster_row``) whose eval cost scales with pairs, not tiles —
+    same outputs, same backward.
+
     Returns (rgba (rows,W,4) display-encoded FG, tri_id, mat_id)."""
     rows_ = height if rows is None else rows
+
+    if row_layout:
+        from .raster_row import rasterize_binned_shade_row as _shade_impl
+    else:
+        _shade_impl = rasterize_binned_shade
 
     kw = dict(
         width=width,
@@ -1630,12 +1914,12 @@ def raster_shade(
 
     @jax.custom_vjp
     def fused(vc, pa, fm_, table, ls, ld, lp, lsp, amb, ey, y_off_):
-        return rasterize_binned_shade(
+        return _shade_impl(
             vc, pa, fm_, table, ls, ld, lp, lsp, amb, ey, y_offset=y_off_, **kw
         )
 
     def fused_fwd(vc, pa, fm_, table, ls, ld, lp, lsp, amb, ey, y_off_):
-        rgba, tri_id, mat_id, attrs = rasterize_binned_shade(
+        rgba, tri_id, mat_id, attrs = _shade_impl(
             vc, pa, fm_, table, ls, ld, lp, lsp, amb, ey,
             y_offset=y_off_, want_gbuf=True, **kw,
         )
@@ -1735,6 +2019,7 @@ def raster_shade_ibl(
     pairs_cap: int | None = None,
     interpret: bool = False,
     mm_precision: str = "highest",
+    row_layout: bool = False,
 ):
     """Differentiable fused raster+shade with the in-kernel IBL half.
 
@@ -1748,6 +2033,11 @@ def raster_shade_ibl(
 
     Returns (chan (rows, W, 11), tri_id, mat_id)."""
     rows_ = height if rows is None else rows
+
+    if row_layout:
+        from .raster_row import rasterize_binned_shade_row as _shade_impl
+    else:
+        _shade_impl = rasterize_binned_shade
 
     kw = dict(
         width=width,
@@ -1772,13 +2062,13 @@ def raster_shade_ibl(
 
     @jax.custom_vjp
     def fused(vc, pa, fm_, table, ls, ld, lp, lsp, amb, ey, sh, y_off_):
-        return rasterize_binned_shade(
+        return _shade_impl(
             vc, pa, fm_, table, ls, ld, lp, lsp, amb, ey, sh,
             y_offset=y_off_, **kw,
         )
 
     def fused_fwd(vc, pa, fm_, table, ls, ld, lp, lsp, amb, ey, sh, y_off_):
-        chan, tri_id, mat_id, attrs = rasterize_binned_shade(
+        chan, tri_id, mat_id, attrs = _shade_impl(
             vc, pa, fm_, table, ls, ld, lp, lsp, amb, ey, sh,
             y_offset=y_off_, want_gbuf=True, **kw,
         )

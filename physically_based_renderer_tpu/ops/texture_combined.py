@@ -626,30 +626,57 @@ class QuadCombinedAtlas:
     the taps ARE the page values here). 4× the HBM of the f32 pages
     (4·12·4 B/texel); the speed path for texture optimisation loops."""
 
-    taps: jnp.ndarray  # (P, S, S, 48) f32: [t00 | t01 | t10 | t11] ×12ch
+    taps: jnp.ndarray  # (P, S, S, 48) f32: [t00 | t01 | t10 | t11] ×12ch.
+    # With ``tile`` > 1 the flat row ORDER is TILE-MAJOR: row =
+    # page·S² + (⌊y/T⌋·(S/T) + ⌊x/T⌋)·T² + (y mod T)·T + (x mod T) — uv-
+    # adjacent texels land in adjacent HBM rows, which the round-5
+    # measurement puts 13-24% faster than row-major for screen-coherent
+    # 1080p gathers at 503 MB tables (scripts/exp_texlayout.py; row-major
+    # coherent gathers are even slower than random — bank-conflicted).
     pages: jnp.ndarray  # (P, S, S, 16) f32 — scatter target for texel grads
     material_page: jnp.ndarray  # (M,) i32
     # Optional stacked quad mip pyramid (level-major rows, incl. level 0):
     # per-pixel-level taps come back in ONE gather; trilinear = 2 gathers.
+    # (Mip rows stay row-major within each level.)
     mips_taps: jnp.ndarray | None = None  # (R, 48) f32
     mips_stack: jnp.ndarray | None = None  # (R, 12) f32 — lod-path grad target
     num_levels: int = dataclasses.field(default=1, metadata=dict(static=True))
+    tile: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def size(self) -> int:
-        return self.taps.shape[1]
+        return self.pages.shape[1]
 
     @property
     def num_pages(self) -> int:
-        return self.taps.shape[0]
+        return self.pages.shape[0]
+
+
+QUAD_TILE = 16  # default tile-major edge (measured best 8-16, exp_texlayout)
 
 
 def build_combined_quad(
-    materials: MaterialBank, atlas: TextureAtlas, num_levels: int | None = None
+    materials: MaterialBank,
+    atlas: TextureAtlas,
+    num_levels: int | None = None,
+    tile: int | None = None,
 ) -> QuadCombinedAtlas:
     comb = build_combined(materials, atlas, num_levels)
     p12 = comb.pages[..., :12]
     taps = _quad_pack12(p12)
+    s = taps.shape[1]
+    t = QUAD_TILE if tile is None else tile
+    if t > 1 and s % t == 0 and s >= t:
+        # Tile-major texel order: (P, S, S, 48) → rows grouped by T×T tile.
+        nt = s // t
+        p = taps.shape[0]
+        taps = (
+            taps.reshape(p, nt, t, nt, t, 48)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(p, s, s, 48)  # flat row i == tile-major index i
+        )
+    else:
+        t = 1
     mips_taps = mips_stack = None
     nl = 1
     if comb.mips is not None and len(comb.mips) > 1:
@@ -664,6 +691,7 @@ def build_combined_quad(
         mips_taps=mips_taps,
         mips_stack=mips_stack,
         num_levels=nl,
+        tile=t,
     )
 
 
@@ -756,12 +784,31 @@ def sample_combined_quad(
         y0e = y0[..., None]
         fy = jnp.where(y0e > s - 2, 1.0, jnp.where(y0e < 0, 0.0, fy))
 
-    row_t = (page * s + y0w) * s
-    row_b = (page * s + y1w) * s
-    i00 = row_t + x0w
-    i01 = row_t + x1w
-    i10 = row_b + x0w
-    i11 = row_b + x1w
+    t_ = quad.tile
+    if t_ > 1:
+        # Tile-major rows (see QuadCombinedAtlas.taps): a handful of extra
+        # integer VPU ops per tap index buys line-local HBM gathers.
+        nt = s // t_
+
+        def row_of(xc, yc):
+            return (
+                page * (s * s)
+                + ((yc // t_) * nt + (xc // t_)) * (t_ * t_)
+                + (yc % t_) * t_
+                + (xc % t_)
+            )
+
+        i00 = row_of(x0w, y0w)
+        i01 = row_of(x1w, y0w)
+        i10 = row_of(x0w, y1w)
+        i11 = row_of(x1w, y1w)
+    else:
+        row_t = (page * s + y0w) * s
+        row_b = (page * s + y1w) * s
+        i00 = row_t + x0w
+        i01 = row_t + x1w
+        i10 = row_b + x0w
+        i11 = row_b + x1w
     flat = pad_gather_rows(quad.taps.reshape(-1, 48))
     num_texels = quad.pages.shape[0] * s * s
 
@@ -779,9 +826,21 @@ def sample_combined_quad(
         pf = jnp.zeros((num_texels, NUM_COMBINED), jnp.float32)
         for idx_, gt in zip(res, g):
             pf = pf.at[idx_.reshape(-1), :12].add(gt.reshape(-1, 12), mode="drop")
+        if t_ > 1:
+            # Scattered by tile-major row — permute back to the pages'
+            # row-major (P, S, S, C) layout before returning the cotangent.
+            np_ = quad.pages.shape[0]
+            ntl = s // t_
+            pf = (
+                pf.reshape(np_, ntl, ntl, t_, t_, NUM_COMBINED)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(quad.pages.shape)
+            )
+        else:
+            pf = pf.reshape(quad.pages.shape)
         f0 = jax.dtypes.float0
         z = lambda a: np.zeros(jnp.shape(a), f0)
-        return (z(flat), pf.reshape(quad.pages.shape), z(res[0]), z(res[1]),
+        return (z(flat), pf, z(res[0]), z(res[1]),
                 z(res[2]), z(res[3]))
 
     fetch.defvjp(fetch_fwd, fetch_bwd)

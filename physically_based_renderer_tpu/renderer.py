@@ -88,10 +88,19 @@ def shade_pixels(
     ibl: IBLMaps | None = None,
     combined: CombinedAtlas | None = None,
     mip_lod: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
+    ibl_split: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """The PS stage (``Default.hlsl:47-161``) over arbitrary pixel batch dims.
 
     Returns (hdr_color (...,3), opacity (...,), keep (...,) bool or None).
+
+    ``ibl_split=True`` (requires ``ibl.irradiance_sh9``): the env-GATHER half
+    of the IBL ambient is deferred to the caller — returns THREE extra
+    arrays (spec_f (...,3), rdir (...,3), rough (...,)) and ``hdr_color``
+    holds only direct + SH9 diffuse; final hdr = hdr + spec_f ·
+    prefiltered(rdir, rough). This is how the textured G-buffer path rides
+    the same merged spec/sky gather as the fused-IBL kernel
+    (``ops.ibl.sample_spec_sky_merged``).
     ``keep`` is the parallax UV clip (``Default.hlsl:65-68``): False where a
     displacement-mapped material's offset uv exited [0,1] (the fragment is
     discarded, like HLSL ``clip``); None when no displacement map is bound
@@ -260,6 +269,23 @@ def shade_pixels(
         diffuse_albedo=albedo, metallic=metallic, fresnel_r0=f0, roughness=roughness
     )
     direct = compute_lighting(lights, mat, pos_w, n, v)
+    if ibl is not None and ibl_split:
+        # In-shader half of the IBL ambient (ambient_ibl semantics, split
+        # exactly like shade_core's ibl mode): kd·irr_SH9·albedo here, the
+        # prefiltered-specular gather deferred to the caller's merged fetch.
+        from .ops.ibl import env_brdf_approx, sh9_irradiance
+
+        assert ibl.irradiance_sh9 is not None, "ibl_split needs SH9 irradiance"
+        n_unit = math3d.normalize(n)
+        ndotv = jnp.maximum(math3d.dot(n_unit, v), 0.0)
+        ks = f0 + (1.0 - f0) * jnp.power(1.0 - ndotv, 5.0)[..., None]
+        kd = (1.0 - ks) * (1.0 - metallic)[..., None]
+        irr = sh9_irradiance(ibl.irradiance_sh9, n_unit)
+        ab = env_brdf_approx(ndotv, roughness)
+        spec_f = f0 * ab[..., 0:1] + ab[..., 1:2]
+        rdir = math3d.normalize(2.0 * ndotv[..., None] * n_unit - v)
+        lit = direct + kd * irr * albedo
+        return lit, opacity, keep, spec_f, rdir, roughness
     if ibl is not None:
         # IBL ambient replaces the constant term — the path the reference
         # stubbed out (Default.hlsl:140-149) plus split-sum specular.
@@ -286,6 +312,7 @@ def shade_pixels(
         "gbuf_precision",
         "raster_pairs_cap",
         "mip_lod",
+        "ibl_merged",
     ),
 )
 def render(
@@ -305,6 +332,7 @@ def render(
     gbuf_precision: str = "highest",
     raster_pairs_cap: int | None = None,
     mip_lod: bool | None = None,
+    ibl_merged: bool | None = None,
 ) -> jnp.ndarray:
     """Render the scene → (rows, W, 4) float32, display-encoded RGBA in [0,1].
 
@@ -392,19 +420,39 @@ def render(
             and not scene.materials.any_alpha_test
         ):
             # Analytic-material scenes take the fully-fused raster+shade
-            # kernel (no G-buffer HBM round trip, no XLA shade/tonemap tail).
-            backend = "pallas_shade"
+            # kernel (no G-buffer HBM round trip, no XLA shade/tonemap tail)
+            # in its round-5 ROW layout (ops/raster_row: eval cost scales
+            # with pairs, not tiles — grid 1080p fwd 13.9 → 10.5 ms).
+            backend = "pallas_shade_row"
         elif ibl_fusable:
             # Untextured + IBL (the north-star config): fused kernel computes
             # direct + SH9 diffuse + env-BRDF factor in-kernel; specular
-            # prefilter and sky share ONE merged row gather outside.
-            backend = "pallas_shade_ibl"
+            # prefilter and sky share ONE merged row gather outside. Row
+            # layout: knob kernel path 23.4 → 12.2 ms (with the distributed
+            # jumbo emission below).
+            backend = "pallas_shade_ibl_row"
         else:
             backend = "pallas_gbuf"
 
     fused_gbuf = backend in ("pallas_gbuf", "pallas_gbuf_interpret")
-    fused_shade = backend in ("pallas_shade", "pallas_shade_interpret")
-    fused_ibl = backend in ("pallas_shade_ibl", "pallas_shade_ibl_interpret")
+    fused_shade = backend in (
+        "pallas_shade", "pallas_shade_interpret", "pallas_shade_row"
+    )
+    fused_ibl = backend in (
+        "pallas_shade_ibl", "pallas_shade_ibl_interpret", "pallas_shade_ibl_row"
+    )
+    # Row-layout kernel (ops/raster_row): eval cost scales with pairs, not
+    # tiles — the round-5 eval-floor fix. Same outputs and backward.
+    row_layout = backend.endswith("_row")
+    # With the row layout, distributing the ex-jumbo triangles densely into
+    # per-tile runs WINS (knob kernel 13.3 → 12.2 ms): the extra 1-3 pairs
+    # per covered tile are absorbed by the sparse sublane sub-chunks, while
+    # a jumbo run costs every tile a full 128-wide eval. (The same
+    # distribution LOST on the v1 kernels — round-4 negative result — so it
+    # is gated on row_layout.) Spans beyond 4096 tiles still fall back to
+    # the jumbo run (super-1080p safety).
+    row_big2_span = 4096 if (row_layout and span_wide) else 0
+    row_big2_cap = 256
     if fused_ibl:
         assert ibl_fusable, (
             "pallas_shade_ibl needs an untextured scene with IBLMaps carrying "
@@ -442,6 +490,8 @@ def render(
             tile_w=tile_w,
             max_span=(64 if span_wide else 16) * ms_scale,
             big_cap=bin_big_cap,
+            big2_span=row_big2_span,
+            big2_cap=row_big2_cap,
             cull_backface=cull_backface,
             num_materials=materials.num_materials,
             num_dir=lights.num_dir,
@@ -450,6 +500,7 @@ def render(
             pairs_cap=raster_pairs_cap,
             interpret=(backend == "pallas_shade_ibl_interpret"),
             mm_precision=gbuf_precision,
+            row_layout=row_layout,
         )
         hit = tri_id >= 0
         hdr_partial = chan[..., 0:3]
@@ -532,6 +583,8 @@ def render(
             tile_w=tile_w,
             max_span=(64 if span_wide else 16) * ms_scale,
             big_cap=bin_big_cap,
+            big2_span=row_big2_span,
+            big2_cap=row_big2_cap,
             cull_backface=cull_backface,
             num_materials=materials.num_materials,
             num_dir=lights.num_dir,
@@ -541,6 +594,7 @@ def render(
             pairs_cap=raster_pairs_cap,
             interpret=(backend == "pallas_shade_interpret"),
             mm_precision=gbuf_precision,
+            row_layout=row_layout,
         )
         mask = tri_id >= 0
         fg_rgb = rgba_fg[..., :3]
@@ -559,8 +613,31 @@ def render(
         alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
         return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
+    # Merged spec/sky gather for the TEXTURED (G-buffer-path) IBL tail — the
+    # same one-gather ambient-environment fetch the fused-IBL kernel uses
+    # (``ops.ibl.sample_spec_sky_merged``), now serving textured scenes like
+    # the reference's own rustediron+sIBL sample (Samples/rusted_iron_pbr.png,
+    # BASELINE configs 3+5). Auto: ON for the TPU kernel backends when the
+    # IBL maps carry SH9 + the f16 specular stack and no alpha test peels
+    # (the gather needs one hit mask for the whole frame); the jnp/brute
+    # oracle paths keep the reference ambient_ibl formulation.
+    ibl_split_ok = (
+        scene.ibl is not None
+        and scene.ibl.irradiance_sh9 is not None
+        and scene.ibl.specular_stack_f16 is not None
+        and not scene.materials.any_alpha_test
+        and not fused_shade
+        and not fused_ibl
+        and backend not in ("jnp", "brute")
+    )
+    if ibl_merged is None:
+        use_ibl_split = ibl_split_ok
+    else:
+        use_ibl_split = ibl_merged and ibl_split_ok
+
     def raster_and_shade(z_floor):
-        """One raster+shade layer → (hdr, opacity, mask, depth, pix_mat).
+        """One raster+shade layer → (hdr, opacity, mask, depth, pix_mat[,
+        spec_f, rdir, rough when the merged-IBL split is active]).
         ``z_floor`` (rows, W) or None — the depth-peeling hook the alpha-test
         second pass uses. depth is +inf/garbage at background (masked)."""
         pix_mat_k = None
@@ -660,7 +737,7 @@ def render(
         else:
             pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
 
-        hdr, opacity, keep = shade_pixels(
+        out = shade_pixels(
             pos_w=pos_w,
             normal_w=normal_w,
             tangent_w=tangent_w,
@@ -675,14 +752,17 @@ def render(
             ibl=scene.ibl,
             combined=scene.combined_atlas,
             mip_lod=mip_lod,
+            ibl_split=use_ibl_split,
         )
+        hdr, opacity, keep = out[0], out[1], out[2]
         if keep is not None:
             # Parallax UV clip: discarded fragments fall through to the
             # background (render_layered peels to the next surface instead).
             mask = mask & keep
-        return hdr, opacity, mask, depth, pix_mat
+        return (hdr, opacity, mask, depth, pix_mat) + tuple(out[3:])
 
-    hdr, opacity, mask, depth, pix_mat = raster_and_shade(None)
+    shaded = raster_and_shade(None)
+    hdr, opacity, mask, depth, pix_mat = shaded[:5]
 
     # Alpha test (clip(opacity − 0.1), Default.hlsl:111-116): statically
     # compiled in only when a material requests it. Fragments an alpha-tested
@@ -703,6 +783,43 @@ def render(
         # brute oracle: single layer — killed pixels fall through to the sky.
         at1 = scene.materials.alpha_test[pix_mat] > 0.5
         mask = mask & ~(at1 & (opacity < 0.1))
+
+    if use_ibl_split:
+        # Complete the deferred IBL half with the ONE merged spec/sky
+        # gather (identical structure to the fused-IBL kernel's epilogue).
+        spec_f, rdir, rough = shaded[5], shaded[6], shaded[7]
+        from .ops.ibl import sample_spec_sky_merged, specular_levels_lerp
+        from .ops.sky import world_to_sky_uv
+
+        if sky_src0 is not None and sky_src0.dtype == jnp.uint32:
+            inv_vp = math3d.inverse(vp)
+            dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
+            sky_uv = world_to_sky_uv(dirs)
+            smp_all, sky_rgb = sample_spec_sky_merged(
+                scene.ibl, rdir, mask, sky_src0, sky_uv
+            )
+            bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+        elif sky_src0 is not None:
+            smp_all, _ = sample_spec_sky_merged(scene.ibl, rdir, mask, None, None)
+            inv_vp = math3d.inverse(vp)
+            dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
+            sky_rgb = sky_ops.sample_sky(sky_src0, dirs)
+            bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+        else:
+            smp_all, _ = sample_spec_sky_merged(scene.ibl, rdir, mask, None, None)
+            bg_rgb = jnp.broadcast_to(scene.clear_color, (rows, width, 3))
+        # Background rows of the merged gather may reinterpret sky words as
+        # inf/NaN f16 — mask BEFORE arithmetic.
+        smp_all = jnp.where(mask[..., None], smp_all, 0.0)
+        prefiltered = specular_levels_lerp(
+            smp_all, rough, scene.ibl.num_specular_levels
+        )
+        hdr = hdr + spec_f * prefiltered
+        fg_rgb = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
+        m = mask[..., None].astype(jnp.float32)
+        rgb = m * fg_rgb + (1.0 - m) * bg_rgb
+        alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
+        return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
     if apply_tonemap:
         fg_rgb = tonemap_ops.tonemap(hdr)
@@ -779,9 +896,63 @@ def shade_compose_band_attrs(
     assembled. Split out so the memory-sharded triangle path can build the
     band's attributes via its ring attribute exchange
     (``parallel.sharded.render_tri_sharded``) and still shade through the
-    one shared implementation."""
+    one shared implementation.
+
+    On TPU, untextured constant-material scenes (no IBL, no alpha test)
+    shade through the SAME fused Pallas kernels as the row-band fast path
+    (``raster_pallas.shade_fused`` forward + ``shade_backward`` VJP); other
+    scenes take the general XLA shader."""
     rows = mask.shape[0]
     textured = scene.atlas is not None
+    fusable = (
+        not textured
+        and scene.ibl is None
+        and not scene.materials.any_alpha_test
+        and jax.default_backend() != "cpu"
+    )
+    if fusable:
+        materials = scene.materials
+        mat_props = jnp.concatenate(
+            [
+                materials.diffuse,
+                materials.metallic[:, None],
+                materials.fresnel_r0,
+                materials.roughness[:, None],
+                materials.opacity[:, None],
+            ],
+            axis=-1,
+        )
+        lights = scene.lights
+        rgba_fg = raster_pallas.shade_fused(
+            attrs[..., :6],
+            pix_mat,
+            mask,
+            mat_props,
+            lights.strength,
+            lights.direction,
+            lights.position,
+            lights.spot_power,
+            scene.ambient,
+            camera.position,
+            num_dir=lights.num_dir,
+            num_point=lights.num_point,
+            num_spot=lights.num_spot,
+            apply_tonemap=apply_tonemap,
+        )
+        fg_rgb = rgba_fg[..., :3]
+        opacity = rgba_fg[..., 3]
+        sky_src = scene.sky_map if scene.sky_map is not None else scene.env_map
+        if sky_src is not None:
+            inv_vp = math3d.inverse(camera.view_proj())
+            dirs = sky_ops.camera_ray_directions(inv_vp, width, height, rows, y_offset)
+            sky_rgb = sky_ops.sample_sky(sky_src, dirs)
+            bg_rgb = tonemap_ops.tonemap(sky_rgb) if apply_tonemap else sky_rgb
+        else:
+            bg_rgb = jnp.broadcast_to(scene.clear_color, (rows, width, 3))
+        m = mask[..., None].astype(jnp.float32)
+        rgb = m * fg_rgb + (1.0 - m) * bg_rgb
+        alpha = m[..., 0] * opacity + (1.0 - m[..., 0]) * 1.0
+        return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
     pos_w = attrs[..., 0:3]
     normal_w = attrs[..., 3:6]
     if textured:
@@ -912,6 +1083,71 @@ def check_raster_capacity(
         "overflowed": bool(binned.overflowed),
         "suggested_pairs_cap": max(suggested, 128),
     }
+
+
+def render_checked(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    tile_h: int | None = None,
+    tile_w: int = 128,
+    raster_pairs_cap: int | None = None,
+    **render_kw,
+) -> jnp.ndarray:
+    """Debug-mode render: validate the binning invariants ON DEVICE with
+    ``jax.experimental.checkify`` (pair-cap occupancy, run bounds, pair
+    payload — see ``raster_bin.check_binning_invariants``) and raise loudly
+    on any violation, then render normally.
+
+    The SURVEY §5 sanitizer plan made concrete: the validation pass re-runs
+    the same triangle binning the Pallas kernels consume, as pure XLA, under
+    the checkify transform (Pallas kernels themselves are opaque to
+    checkify). Use for repro hunts alongside ``utils.config.debug_mode``
+    (NaN checks) and the ``*_interpret`` backends."""
+    from jax.experimental import checkify
+
+    from .ops.raster import setup_corners
+    from .ops.raster_bin import bin_triangles, check_binning_invariants
+
+    textured = scene.atlas is not None
+    geom = flatten_scene_corners(scene, textured=textured)
+    num_tris = geom.pos_w.shape[0]
+    span_wide = num_tris <= (1 << 15)
+
+    @functools.partial(jax.jit, static_argnames=("th",))
+    def _validate(scene_, camera_, th):
+        def checked(s, c):
+            clip = math3d.transform_points_h(geom.pos_w, c.view_proj())
+            st = setup_corners(clip, width, height, True, None)
+            binned = bin_triangles(
+                st,
+                width=width,
+                height=height,
+                tile_h=th,
+                tile_w=tile_w,
+                max_span=64 if span_wide else 16,
+                pairs_cap=raster_pairs_cap,
+            )
+            check_binning_invariants(binned, num_tris)
+            return binned.num_pairs
+
+        err, _ = checkify.checkify(checked)(scene_, camera_)
+        return err
+
+    err = _validate(scene, camera, 4 if tile_h is None else tile_h)
+    err.throw()  # raises with the failed invariant's message
+    return render(
+        scene,
+        camera,
+        width=width,
+        height=height,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        raster_pairs_cap=raster_pairs_cap,
+        **render_kw,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "factor", "apply_tonemap"))
@@ -1143,6 +1379,32 @@ def render_soft(
         edge_margin_px=3.0 * sigma,  # capture the sigmoid's support
     )
 
+    # Untextured constant-material scenes shade every peel through the SAME
+    # fused Pallas kernels as the hard path (shade_fused fwd +
+    # shade_backward VJP) instead of K XLA shade passes — the round-5
+    # backward story for the differentiable-visibility mode. Geometry
+    # gradients are untouched: they flow through interpolate_corners /
+    # signed_distance / the soft composite, with shade_fused pulling the
+    # attribute cotangents back into that same interpolation.
+    shade_fusable = (
+        not textured
+        and scene.ibl is None
+        and not scene.materials.any_alpha_test
+        and jax.default_backend() != "cpu"
+    )
+    if shade_fusable:
+        _mats = scene.materials
+        _mat_props = jnp.concatenate(
+            [
+                _mats.diffuse,
+                _mats.metallic[:, None],
+                _mats.fresnel_r0,
+                _mats.roughness[:, None],
+                _mats.opacity[:, None],
+            ],
+            axis=-1,
+        )
+
     def shade_layer(tri_id):
         # clamp=True: dilated (near-miss) pixels sit slightly outside their
         # triangle; project barycentrics back to the face so attributes
@@ -1150,32 +1412,54 @@ def render_soft(
         attrs, depth, mask = raster.interpolate_corners(
             geom.attrs, clip, tri_id, width=width, height=height, clamp=True
         )
-        pos_w = attrs[..., 0:3]
-        normal_w = attrs[..., 3:6]
-        if textured:
-            tangent_w = attrs[..., 6:9]
-            bitangent_w = attrs[..., 9:12]
-            uv = attrs[..., 12:14]
+        pix_mat = geom.face_material[jnp.maximum(tri_id, 0)]
+        if shade_fusable:
+            L = scene.lights
+            rgba = raster_pallas.shade_fused(
+                attrs[..., :6],
+                pix_mat,
+                mask,
+                _mat_props,
+                L.strength,
+                L.direction,
+                L.position,
+                L.spot_power,
+                scene.ambient,
+                camera.position,
+                num_dir=L.num_dir,
+                num_point=L.num_point,
+                num_spot=L.num_spot,
+                apply_tonemap=apply_tonemap,
+            )
+            color = rgba[..., :3]
+            keep = None
         else:
-            tangent_w = normal_w
-            bitangent_w = normal_w
-            uv = attrs[..., 0:2] * 0.0
-        hdr, _op, keep = shade_pixels(
-            pos_w=pos_w,
-            normal_w=normal_w,
-            tangent_w=tangent_w,
-            bitangent_w=bitangent_w,
-            uv=uv,
-            material_id=geom.face_material[jnp.maximum(tri_id, 0)],
-            materials=scene.materials,
-            atlas=scene.atlas,
-            lights=scene.lights,
-            ambient=scene.ambient,
-            eye=camera.position,
-            ibl=scene.ibl,
-            combined=scene.combined_atlas,
-        )
-        color = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
+            pos_w = attrs[..., 0:3]
+            normal_w = attrs[..., 3:6]
+            if textured:
+                tangent_w = attrs[..., 6:9]
+                bitangent_w = attrs[..., 9:12]
+                uv = attrs[..., 12:14]
+            else:
+                tangent_w = normal_w
+                bitangent_w = normal_w
+                uv = attrs[..., 0:2] * 0.0
+            hdr, _op, keep = shade_pixels(
+                pos_w=pos_w,
+                normal_w=normal_w,
+                tangent_w=tangent_w,
+                bitangent_w=bitangent_w,
+                uv=uv,
+                material_id=pix_mat,
+                materials=scene.materials,
+                atlas=scene.atlas,
+                lights=scene.lights,
+                ambient=scene.ambient,
+                eye=camera.position,
+                ibl=scene.ibl,
+                combined=scene.combined_atlas,
+            )
+            color = tonemap_ops.tonemap(hdr) if apply_tonemap else hdr
         sd = raster_soft.signed_distance_px(
             clip, None, tri_id, width=width, height=height
         )

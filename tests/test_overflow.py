@@ -63,3 +63,25 @@ def test_render_loop_autoheals_overflow():
     frame = loop.step()
     assert frame.shape == (H, W, 4)
     assert loop.config.raster_pairs_cap > 128  # auto-raised on first frame
+
+
+def test_render_checked_raises_on_overflow():
+    """The checkify debug path (SURVEY §5 sanitizer plan): forcing a binning
+    overflow through render_checked raises loudly instead of silently
+    dropping triangles; a sufficient cap passes and renders."""
+    import pytest
+    from jax.experimental import checkify
+
+    from physically_based_renderer_tpu.renderer import render_checked
+
+    scene = scenes.red_sphere_grid_scene(slices=16, stacks=8)
+    cam = Camera.create(position=(0.0, -3.0, -18.0), aspect=W / H)
+    with pytest.raises(checkify.JaxRuntimeError, match="overflow"):
+        render_checked(
+            scene, cam, width=W, height=H, raster_pairs_cap=128,
+            raster_backend="jnp",
+        )
+
+    img = render_checked(scene, cam, width=W, height=H, raster_backend="jnp")
+    assert img.shape == (H, W, 4)
+    assert bool(np.isfinite(np.asarray(img)).all())
