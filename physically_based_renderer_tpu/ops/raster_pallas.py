@@ -1608,31 +1608,33 @@ def shade_fused(
     background)."""
 
     @jax.custom_vjp
-    def f(attrs_, table, ls, ld, lp, lsp, amb, ey):
+    def f(attrs_, mid_, hit_, table, ls, ld, lp, lsp, amb, ey):
+        # mid_/hit_ ride as explicit (integer/bool) arguments — a closure
+        # capture would leak tracers through the custom_vjp under jit.
         uni = pack_shading_uniforms(ls, ld, lp, lsp, amb, ey, None)
         return shade_forward(
-            attrs_, mat_id, hit, table, uni,
+            attrs_, mid_, hit_, table, uni,
             num_dir=num_dir, num_point=num_point, num_spot=num_spot,
             ibl=False, apply_tonemap=apply_tonemap, interpret=interpret,
         )
 
-    def fwd(attrs_, table, ls, ld, lp, lsp, amb, ey):
-        return f(attrs_, table, ls, ld, lp, lsp, amb, ey), (
-            attrs_, table, ls, ld, lp, lsp, amb, ey,
+    def fwd(attrs_, mid_, hit_, table, ls, ld, lp, lsp, amb, ey):
+        return f(attrs_, mid_, hit_, table, ls, ld, lp, lsp, amb, ey), (
+            attrs_, mid_, hit_, table, ls, ld, lp, lsp, amb, ey,
         )
 
     def bwd(res, g):
-        attrs_, table, ls, ld, lp, lsp, amb, ey = res
+        attrs_, mid_, hit_, table, ls, ld, lp, lsp, amb, ey = res
         uni = pack_shading_uniforms(ls, ld, lp, lsp, amb, ey, None)
-        g_chan = jnp.where(hit[..., None], g, 0.0)
+        g_chan = jnp.where(hit_[..., None], g, 0.0)
         g_attrs, g_props, g_uni = shade_backward(
-            g_chan, attrs_, mat_id, hit, table, uni,
+            g_chan, attrs_, mid_, hit_, table, uni,
             num_dir=num_dir, num_point=num_point, num_spot=num_spot,
             ibl=False, apply_tonemap=apply_tonemap, interpret=interpret,
         )
         g_table = _scatter_props_by_id(
-            jnp.where(hit[..., None], g_props, 0.0),
-            mat_id,
+            jnp.where(hit_[..., None], g_props, 0.0),
+            mid_,
             table.shape[0],
             table.shape[1],
         )
@@ -1640,12 +1642,18 @@ def shade_fused(
         g_ls, g_ld, g_lp, g_lsp, g_amb, g_ey, _ = unpack_uniform_grads(
             g_uni, nl, False
         )
-        return g_attrs, g_table, g_ls, g_ld, g_lp, g_lsp, g_amb, g_ey
+        import numpy as np
+
+        f0t = jax.dtypes.float0
+        g_mid = np.zeros(jnp.shape(mid_), dtype=f0t)
+        g_hit = np.zeros(jnp.shape(hit_), dtype=f0t)
+        return (g_attrs, g_mid, g_hit, g_table, g_ls, g_ld, g_lp, g_lsp,
+                g_amb, g_ey)
 
     f.defvjp(fwd, bwd)
     return f(
-        attrs, mat_props, light_strength, light_direction, light_position,
-        light_spot_power, ambient, eye,
+        attrs, mat_id, hit, mat_props, light_strength, light_direction,
+        light_position, light_spot_power, ambient, eye,
     )
 
 
@@ -2155,8 +2163,13 @@ def raster_gbuffer(
     interpret: bool = False,
     mm_precision: str = "highest",
     z_floor: jnp.ndarray | None = None,
+    row_layout: bool = False,
 ):
     """Differentiable fused raster + G-buffer (custom VJP).
+
+    ``row_layout=True`` (corner-major input only) swaps in the round-5
+    row-layout kernel (``ops/raster_row.rasterize_binned_gbuffer_row``) —
+    same outputs and backward, eval cost scaling with pairs.
 
     Forward: the fused Pallas kernel (``rasterize_binned_gbuffer``).
     Backward: the winner triangle ids are fixed (hard visibility has no
@@ -2167,8 +2180,35 @@ def raster_gbuffer(
 
     Returns (attrs (rows,W,C), depth, tri_id, mat_id)."""
 
+    if row_layout:
+        assert tris is None, "row_layout G-buffer kernel is corner-major only"
+
     @jax.custom_vjp
     def fused(vc, pa, tris_, fm_, y_off_, zf_):
+        if row_layout:
+            from .raster_row import rasterize_binned_gbuffer_row
+
+            return rasterize_binned_gbuffer_row(
+                vc,
+                pa,
+                fm_,
+                width=width,
+                height=height,
+                rows=rows,
+                y_offset=y_off_,
+                tile_h=tile_h,
+                tile_w=tile_w,
+                max_span=max_span,
+                big_cap=big_cap,
+                big2_span=big2_span,
+                big2_cap=big2_cap,
+                cull_backface=cull_backface,
+                num_materials=num_materials,
+                pairs_cap=pairs_cap,
+                interpret=interpret,
+                mm_precision=mm_precision,
+                z_floor=zf_,
+            )
         return rasterize_binned_gbuffer(
             vc,
             tris_,

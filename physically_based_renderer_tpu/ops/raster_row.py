@@ -86,10 +86,20 @@ def _raster_tile_shade_row_kernel(
     ibl: bool,
     sparse_s: int,
     sparse_max: int,
+    shade: bool = True,
+    has_zfloor: bool = False,
 ):
     k = 0
-    out_id_ref, out_rgba_ref = rest[k], rest[k + 1]
-    k += 2
+    zfloor_ref = None
+    if has_zfloor:
+        zfloor_ref = rest[k]
+        k += 1
+    out_id_ref = rest[k]
+    k += 1
+    out_rgba_ref = None
+    if shade:
+        out_rgba_ref = rest[k]
+        k += 1
     out_gb_ref = None
     if want_gbuf:
         out_gb_ref = rest[k]
@@ -111,6 +121,7 @@ def _raster_tile_shade_row_kernel(
     best_key[:] = jnp.full((1, p), 0x7FFFFFFF, jnp.int32)
     best_code[:] = jnp.full((1, p), -1, jnp.int32)  # -1 = BACKGROUND
     best_f[:] = jnp.zeros_like(best_f)
+    zf = zfloor_ref[0] if has_zfloor else None  # (1, P) row
 
     QMASK = jnp.int32(~0x7F)
     INFKEY = jnp.int32(0x7F800000)
@@ -134,6 +145,8 @@ def _raster_tile_shade_row_kernel(
         z = dx * fs[:, 11:12] + dy * fs[:, 12:13] + fs[:, 13:14]
 
         ok = inside & (z >= 0.0) & (z <= 1.0) & (sub < nvalid) & (ts >= 0)
+        if has_zfloor:
+            ok &= z > zf  # depth peeling: strictly-behind-floor only
         zbits = jax.lax.bitcast_convert_type(z, jnp.int32)
         key = jnp.where(ok, (zbits & QMASK) | sub, INFKEY)
         kmin = jnp.min(key, axis=0, keepdims=True)  # (1, P) — THE reduction
@@ -278,43 +291,48 @@ def _raster_tile_shade_row_kernel(
                 1, num_ch * tile_h, tile_w
             )
 
-        # Material fetch (cbMaterial, Core.hlsl:64-81): one-hot MXU matmul.
-        mpad = mat_ref.shape[0]
-        if mat_stride > 1:
-            mid = jnp.where(hit, best_code[:] % mat_stride, 0)
-        else:
-            mid = bf[FIELD_MATERIAL : FIELD_MATERIAL + 1, :].astype(jnp.int32)
-        miota = jax.lax.broadcasted_iota(jnp.int32, (mpad, 1), 0)
-        onehot_m = (miota == mid).astype(jnp.float32)  # (MPAD, P)
-        props = jax.lax.dot_general(
-            mat_ref[:],
-            onehot_m,
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (MATK, P)
+        if shade:
+            # Material fetch (cbMaterial, Core.hlsl:64-81): one-hot MXU
+            # matmul.
+            mpad = mat_ref.shape[0]
+            if mat_stride > 1:
+                mid = jnp.where(hit, best_code[:] % mat_stride, 0)
+            else:
+                mid = bf[FIELD_MATERIAL : FIELD_MATERIAL + 1, :].astype(
+                    jnp.int32
+                )
+            miota = jax.lax.broadcasted_iota(jnp.int32, (mpad, 1), 0)
+            onehot_m = (miota == mid).astype(jnp.float32)  # (MPAD, P)
+            props = jax.lax.dot_general(
+                mat_ref[:],
+                onehot_m,
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (MATK, P)
 
-        pos = tuple(attrs[c : c + 1, :] for c in range(3))
-        nrm = tuple(attrs[c : c + 1, :] for c in range(3, 6))
-        props9 = tuple(props[c : c + 1, :] for c in range(9))
-        rows = shade_core(
-            pos,
-            nrm,
-            props9,
-            uni_ref[:],
-            num_dir=num_dir,
-            num_point=num_point,
-            num_spot=num_spot,
-            ibl=ibl,
-            apply_tonemap=apply_tonemap,
-        )
-        rgba = jnp.where(hit, jnp.concatenate(rows, axis=0), 0.0)
-        out_rgba_ref[:] = rgba.reshape(1, c_out * tile_h, tile_w)
+            pos = tuple(attrs[c : c + 1, :] for c in range(3))
+            nrm = tuple(attrs[c : c + 1, :] for c in range(3, 6))
+            props9 = tuple(props[c : c + 1, :] for c in range(9))
+            rows = shade_core(
+                pos,
+                nrm,
+                props9,
+                uni_ref[:],
+                num_dir=num_dir,
+                num_point=num_point,
+                num_spot=num_spot,
+                ibl=ibl,
+                apply_tonemap=apply_tonemap,
+            )
+            rgba = jnp.where(hit, jnp.concatenate(rows, axis=0), 0.0)
+            out_rgba_ref[:] = rgba.reshape(1, c_out * tile_h, tile_w)
         out_id_ref[:] = best_code[:].reshape(1, tile_h, tile_w)
 
     @pl.when(jnp.logical_not(nonempty))
     def _():
-        out_rgba_ref[:] = jnp.zeros_like(out_rgba_ref)
+        if shade:
+            out_rgba_ref[:] = jnp.zeros_like(out_rgba_ref)
         out_id_ref[:] = jnp.full_like(out_id_ref, -1)
         if want_gbuf:
             out_gb_ref[:] = jnp.zeros_like(out_gb_ref)
@@ -574,3 +592,246 @@ def rasterize_binned_shade_row(
         )[:rows, :width]
         return rgba, tri_id, mat_id, gb[..., : num_ch - 1]
     return rgba, tri_id, mat_id
+
+
+def _tile_zfloor_row(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w):
+    """(rows, W) z-floor → (ntiles, 1, P) row-layout tile blocks (the row
+    kernel's pixels live on lanes). Padding = −inf (padded pixels accept
+    everything; they are cropped)."""
+    zf = jnp.pad(
+        z_floor,
+        ((0, tiles_y * tile_h - rows), (0, tiles_x * tile_w - width)),
+        constant_values=-jnp.inf,
+    )
+    return (
+        zf.reshape(tiles_y, tile_h, tiles_x, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(tiles_y * tiles_x, 1, tile_h * tile_w)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "rows",
+        "tile_h",
+        "tile_w",
+        "max_span",
+        "pairs_cap",
+        "big_cap",
+        "big2_span",
+        "big2_cap",
+        "cull_backface",
+        "num_materials",
+        "interpret",
+        "mm_precision",
+        "sparse_s",
+        "sparse_max",
+    ),
+)
+def rasterize_binned_gbuffer_row(
+    verts_clip: jnp.ndarray,  # (T, 3, 4) corner-major clip coords
+    packed_attrs: jnp.ndarray,  # (T, 3, C) corner attrs
+    face_material: jnp.ndarray | None = None,
+    *,
+    width: int,
+    height: int,
+    rows: int | None = None,
+    y_offset: jnp.ndarray | int = 0,
+    tile_h: int = 4,
+    tile_w: int = 128,
+    max_span: int = 16,
+    pairs_cap: int | None = None,
+    big_cap: int | None = None,
+    big2_span: int = 0,
+    big2_cap: int | None = None,
+    cull_backface: bool = True,
+    num_materials: int = 0,
+    interpret: bool = False,
+    mm_precision: str = "highest",
+    z_floor: jnp.ndarray | None = None,
+    sparse_s: int = SPARSE_S,
+    sparse_max: int = SPARSE_MAX,
+):
+    """Row-layout fused raster + G-buffer — same contract and outputs as
+    :func:`raster_pallas.rasterize_binned_gbuffer` (corner-major input
+    only), kernel cost scaling with pairs instead of tiles. Serves the
+    TEXTURED deferred path. NOT differentiable — see the ``row_layout``
+    option of :func:`raster_pallas.raster_gbuffer`.
+
+    Returns (attrs (rows,W,C), depth (rows,W), tri_id, mat_id-or-None)."""
+    if rows is None:
+        rows = height
+    y_offset = jnp.asarray(y_offset, jnp.int32)
+    num_t = verts_clip.shape[0]
+
+    want_material = face_material is not None
+    mat_stride = 1
+    encode_material = False
+    if want_material:
+        assert num_materials > 0, "pass static num_materials with face_material"
+        mat_stride = 1 << max(1, (num_materials - 1).bit_length())
+        encode_material = num_t * mat_stride < (1 << 31)
+        if not encode_material:
+            mat_stride = 1
+
+    st = setup_corners(verts_clip, width, height, cull_backface, None)
+    corner_channels = jnp.concatenate(
+        [packed_attrs * st.inv_w[..., None], st.inv_w[..., None]], axis=-1
+    )
+    num_ch = corner_channels.shape[-1]  # C + 1
+
+    binned = bin_triangles(
+        st,
+        width=width,
+        height=height,
+        rows=rows,
+        y_offset=y_offset,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        max_span=max_span,
+        pairs_cap=pairs_cap,
+        big_cap=big_cap,
+        big2_span=big2_span,
+        big2_cap=big2_cap,
+        chunk=CHUNK,
+        face_material=face_material if encode_material else None,
+        corner_channels=corner_channels,
+        pair_major=True,
+    )
+    nf = binned.packed.shape[1]
+    nf_tid = nf
+
+    tidcol = jax.lax.bitcast_convert_type(
+        binned.pair_tri.astype(jnp.int32), jnp.float32
+    ).reshape(-1, 1)
+    packedx = jnp.concatenate([binned.packed, tidcol], axis=1)
+    nf_keep = _round_up_int(nf + 1, 8)
+    nfx = _round_up_int(nf + 1, 128)
+    if nfx > nf + 1:
+        packedx = jnp.pad(packedx, ((0, 0), (0, nfx - nf - 1)))
+    npairs = packedx.shape[0]
+    npad = _round_up_int(npairs, CHUNK)
+    if npad > npairs:
+        pad_rows = jnp.zeros((npad - npairs, nfx), jnp.float32)
+        pad_rows = pad_rows.at[:, nf_tid].set(
+            jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+        )
+        packedx = jnp.concatenate([packedx, pad_rows], axis=0)
+    packed_blocks = packedx.reshape(npad // CHUNK, CHUNK, nfx)
+
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-rows // tile_h)
+    ntiles = tiles_y * tiles_x
+    p = tile_h * tile_w
+
+    dummy_mat = jnp.zeros((8, 8), jnp.float32)
+    dummy_uni = jnp.zeros((1, 8), jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [packed_blocks, dummy_mat, dummy_uni]
+    if z_floor is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(
+            _tile_zfloor_row(z_floor, rows, width, tiles_y, tiles_x, tile_h, tile_w)
+        )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles, tile_h, tile_w), jnp.int32),
+        jax.ShapeDtypeStruct((ntiles, num_ch * tile_h, tile_w), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, tile_h, tile_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, num_ch * tile_h, tile_w),
+            lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+    jblocks = max(1, min(8, packed_blocks.shape[0]))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, nfx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, p), jnp.int32),
+            pltpu.VMEM((1, p), jnp.int32),
+            pltpu.VMEM((nf_keep, p), jnp.float32),
+            pltpu.VMEM((jblocks, CHUNK, nfx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _raster_tile_shade_row_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        mat_stride=mat_stride if encode_material else 1,
+        num_ch=num_ch,
+        nf_tid=nf_tid,
+        nf_keep=nf_keep,
+        mm_precision=_PRECISIONS[mm_precision],
+        num_dir=0,
+        num_point=0,
+        num_spot=0,
+        apply_tonemap=False,
+        want_gbuf=True,
+        ibl=False,
+        sparse_s=sparse_s,
+        sparse_max=sparse_max,
+        shade=False,
+        has_zfloor=z_floor is not None,
+    )
+    tile_ids, tile_gb = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        binned.starts,
+        jnp.reshape(y_offset, (1,)),
+        *operands,
+    )
+
+    img = (
+        tile_ids.reshape(tiles_y, tiles_x, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w)
+    )[:rows, :width]
+    gb = (
+        tile_gb.reshape(tiles_y, tiles_x, num_ch, tile_h, tile_w)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w, num_ch)
+    )[:rows, :width]
+    attrs = gb[..., : num_ch - 1]
+    depth = gb[..., num_ch - 1]
+
+    if want_material:
+        if encode_material:
+            bg = img < 0
+            tri_id = jnp.where(bg, -1, img // mat_stride)
+            mat_id = jnp.where(bg, 0, img % mat_stride)
+        else:
+            tri_id = img
+            mat_id = face_material[jnp.maximum(img, 0)]
+    else:
+        tri_id = img
+        mat_id = None
+    return attrs, depth, tri_id, mat_id

@@ -138,6 +138,13 @@ def peel_layers(
         rows = height
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
+    # The peel STRUCTURE (which triangle per layer, the z floors) is
+    # non-differentiable bookkeeping — hard visibility has no gradient, and
+    # the raw Pallas raster kernel has no JVP rule at all. Differentiable
+    # depths are recomputed from the returned ids by the caller
+    # (interpolate_corners); cutting the tape here is what makes
+    # jax.grad(render_soft) work on the TPU kernel path.
+    verts_clip = jax.lax.stop_gradient(verts_clip)
     ids, zs = [], []
     z_floor = jnp.full((rows, width), -jnp.inf, jnp.float32)
     for _ in range(num_layers):

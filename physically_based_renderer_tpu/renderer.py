@@ -89,6 +89,7 @@ def shade_pixels(
     combined: CombinedAtlas | None = None,
     mip_lod: bool = False,
     ibl_split: bool = False,
+    aniso_taps: int = 1,
 ) -> tuple[jnp.ndarray, ...]:
     """The PS stage (``Default.hlsl:47-161``) over arbitrary pixel batch dims.
 
@@ -190,29 +191,62 @@ def shade_pixels(
         # reference's 1-mip textures can't do (WICTextureLoader.h:78 — pass
         # mip_lod=False for exact 1-mip reference parity). Needs a 2-D
         # (rows, W) pixel layout — flat pixel batches keep bilinear mip 0.
+        # ``aniso_taps`` > 1 additionally spreads that many trilinear taps
+        # along the major footprint axis (SamplerAnisotropicWrap parity,
+        # Default.hlsl:80) — N× the gather cost, quality within a few % RMS
+        # of a 16-tap oracle (tests/test_aniso_delta.py).
         lod = None
+        aniso_axis = None
         if mip_lod and uv_t.ndim >= 3:
-            from .ops.texture import screen_space_lod
+            from .ops.texture import screen_space_lod, screen_space_lod_aniso
 
+            src_sz = None
             if combined is not None:
                 if getattr(combined, "num_levels", 1) > 1 or (
                     isinstance(combined, CombinedAtlas)
                     and combined.mips is not None
                 ):
-                    lod = screen_space_lod(uv_t, combined.size)
+                    src_sz = combined.size
             elif atlas is not None and atlas.num_levels > 1:
-                lod = screen_space_lod(uv_t, atlas.size)
+                src_sz = atlas.size
+            if src_sz is not None:
+                if aniso_taps > 1:
+                    lod, aniso_axis = screen_space_lod_aniso(
+                        uv_t, src_sz, aniso_taps
+                    )
+                else:
+                    lod = screen_space_lod(uv_t, src_sz)
+
+        def multi_tap(sample_fn):
+            """Average ``aniso_taps`` samples along the major footprint axis
+            (one plain sample when aniso is off)."""
+            if aniso_axis is None:
+                return sample_fn(uv_t)
+            acc = None
+            for k in range(aniso_taps):
+                f = (k + 0.5) / aniso_taps - 0.5
+                s_ = sample_fn(uv_t + aniso_axis * f)
+                acc = s_ if acc is None else acc + s_
+            return acc / aniso_taps
 
         if combined is not None:
             # One gather for every slot (see ops/texture_combined.py).
             if isinstance(combined, PackedCombinedAtlas):
-                smp = sample_combined_packed(combined, mid, uv_t, lod=lod)
+                smp = multi_tap(
+                    lambda u: sample_combined_packed(combined, mid, u, lod=lod)
+                )
             elif isinstance(combined, QuadCombinedAtlas):
-                smp = sample_combined_quad(combined, mid, uv_t, lod=lod)
+                smp = multi_tap(
+                    lambda u: sample_combined_quad(combined, mid, u, lod=lod)
+                )
             elif isinstance(combined, HalfCombinedAtlas):
-                smp = sample_combined_half(combined, mid, uv_t, lod=lod)
+                smp = multi_tap(
+                    lambda u: sample_combined_half(combined, mid, u, lod=lod)
+                )
             else:
-                smp = sample_combined(combined, mid, uv_t, lod=lod)
+                smp = multi_tap(
+                    lambda u: sample_combined(combined, mid, u, lod=lod)
+                )
             t_diffuse = smp[..., 0:3]
             t_specular = smp[..., 3:6]
             t_metallic = smp[..., 6:7]
@@ -223,7 +257,9 @@ def shade_pixels(
             pages = materials.tex_index[mid]  # (..., 12)
 
             def tex(slot):
-                return sample_atlas(atlas, pages[..., slot], uv_t, lod=lod)
+                return multi_tap(
+                    lambda u: sample_atlas(atlas, pages[..., slot], u, lod=lod)
+                )
 
             t_diffuse = tex(SLOT_DIFFUSE)
             t_specular = tex(SLOT_SPECULAR)
@@ -313,6 +349,7 @@ def shade_pixels(
         "raster_pairs_cap",
         "mip_lod",
         "ibl_merged",
+        "aniso_taps",
     ),
 )
 def render(
@@ -333,6 +370,7 @@ def render(
     raster_pairs_cap: int | None = None,
     mip_lod: bool | None = None,
     ibl_merged: bool | None = None,
+    aniso_taps: int = 1,
 ) -> jnp.ndarray:
     """Render the scene → (rows, W, 4) float32, display-encoded RGBA in [0,1].
 
@@ -434,7 +472,9 @@ def render(
         else:
             backend = "pallas_gbuf"
 
-    fused_gbuf = backend in ("pallas_gbuf", "pallas_gbuf_interpret")
+    fused_gbuf = backend in (
+        "pallas_gbuf", "pallas_gbuf_interpret", "pallas_gbuf_row"
+    )
     fused_shade = backend in (
         "pallas_shade", "pallas_shade_interpret", "pallas_shade_row"
     )
@@ -660,16 +700,20 @@ def render(
                 height=height,
                 rows=rows,
                 y_offset=y_offset,
-                tile_h=tile_h if tile_h is not None else 16,
+                tile_h=tile_h if tile_h is not None else (4 if row_layout else 16),
                 tile_w=tile_w,
-                max_span=(64 if span_wide else 8) * ms_scale,
+                max_span=(64 if span_wide else (16 if row_layout else 8))
+                * ms_scale,
                 big_cap=bin_big_cap,
+                big2_span=row_big2_span,
+                big2_cap=row_big2_cap,
                 cull_backface=cull_backface,
                 num_materials=scene.materials.num_materials,
                 pairs_cap=raster_pairs_cap,
                 interpret=(backend == "pallas_gbuf_interpret"),
                 mm_precision=gbuf_precision,
                 z_floor=z_floor,
+                row_layout=row_layout,
             )
             mask = tri_id >= 0
         elif backend in ("pallas", "pallas_interpret"):
@@ -753,6 +797,7 @@ def render(
             combined=scene.combined_atlas,
             mip_lod=mip_lod,
             ibl_split=use_ibl_split,
+            aniso_taps=aniso_taps,
         )
         hdr, opacity, keep = out[0], out[1], out[2]
         if keep is not None:
@@ -1339,6 +1384,7 @@ def render_layered(
         "gamma",
         "cull_backface",
         "apply_tonemap",
+        "fused_shading",
     ),
 )
 def render_soft(
@@ -1352,6 +1398,7 @@ def render_soft(
     gamma: float = 1e-2,
     cull_backface: bool = True,
     apply_tonemap: bool = True,
+    fused_shading: bool = True,
 ) -> jnp.ndarray:
     """Differentiable-visibility render → (H, W, 3) display-encoded RGB.
 
@@ -1387,7 +1434,8 @@ def render_soft(
     # signed_distance / the soft composite, with shade_fused pulling the
     # attribute cotangents back into that same interpolation.
     shade_fusable = (
-        not textured
+        fused_shading
+        and not textured
         and scene.ibl is None
         and not scene.materials.any_alpha_test
         and jax.default_backend() != "cpu"

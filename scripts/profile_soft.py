@@ -38,26 +38,33 @@ def main():
             scene, draws=(dataclasses.replace(draw, worlds=w),)
         )
 
-    def fwd(t, c):
-        return render_soft(with_offset(t), c, width=W, height=H, num_layers=K)
+    for fused in (len(sys.argv) <= 2 or sys.argv[2] != "naive",):
+        tag = "fused" if fused else "naive"
 
-    def loss(t, c):
-        img = fwd(t, c)
-        return jnp.mean(img[..., :3] ** 2)
+        def fwd(t, c):
+            return render_soft(
+                with_offset(t), c, width=W, height=H, num_layers=K,
+                fused_shading=fused,
+            )
 
-    gf = jax.grad(loss)
+        def loss(t, c):
+            img = fwd(t, c)
+            return jnp.mean(img[..., :3] ** 2)
 
-    r = time_device_loop(
-        lambda t, c: fwd(t, c)[..., 0], jnp.float32(0.0), cam,
-        iters=5, pixels=W * H,
-    )
-    print(f"soft K={K} fwd        {r.ms_per_iter:8.2f} ms "
-          f"{r.pixels_per_s / 1e6:7.1f} Mpix/s", flush=True)
-    r = time_device_loop(
-        gf, jnp.float32(0.0), cam, iters=5, pixels=W * H,
-    )
-    print(f"soft K={K} fwd+bwd    {r.ms_per_iter:8.2f} ms "
-          f"{r.pixels_per_s / 1e6:7.1f} Mpix/s", flush=True)
+        gf = jax.grad(loss)
+
+        if "bwdonly" not in sys.argv:
+            r = time_device_loop(
+                lambda t, c: fwd(t, c)[..., 0], jnp.float32(0.0), cam,
+                iters=5, pixels=W * H,
+            )
+            print(f"soft K={K} {tag} fwd     {r.ms_per_iter:8.2f} ms "
+                  f"{r.pixels_per_s / 1e6:7.1f} Mpix/s", flush=True)
+        r = time_device_loop(
+            gf, jnp.float32(0.0), cam, iters=5, pixels=W * H,
+        )
+        print(f"soft K={K} {tag} fwd+bwd {r.ms_per_iter:8.2f} ms "
+              f"{r.pixels_per_s / 1e6:7.1f} Mpix/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -64,18 +64,24 @@ def main(which):
             return sample_combined_quad(q, mid, u)[..., 0]
 
         t("sample_combined_quad (1 gather)", f, scene.combined_atlas, uv)
-    elif which == "full":
-        def f(sc, c):
-            return render(sc, c, width=W, height=H)[..., 0]
+    elif which in ("full", "full_row"):
+        bk = "pallas_gbuf_row" if which == "full_row" else "auto"
 
-        t("render fwd", f, scene, cam)
-    elif which == "fullbwd":
+        def f(sc, c):
+            return render(sc, c, width=W, height=H, raster_backend=bk)[..., 0]
+
+        t(f"render fwd [{bk}]", f, scene, cam)
+    elif which in ("fullbwd", "fullbwd_row"):
+        bk = "pallas_gbuf_row" if which == "fullbwd_row" else "auto"
+
         def loss(mats, sc, c):
             s = dataclasses.replace(sc, materials=mats)
-            return jnp.mean(render(s, c, width=W, height=H)[..., :3] ** 2)
+            return jnp.mean(
+                render(s, c, width=W, height=H, raster_backend=bk)[..., :3] ** 2
+            )
 
         gf = jax.grad(loss, allow_int=True)
-        t("render fwd+bwd (mat grads)",
+        t(f"render fwd+bwd (mat grads) [{bk}]",
           lambda m, sc, c: gf(m, sc, c).roughness, scene.materials, scene, cam)
     elif which == "texbwd":
         def loss(q, sc, c):
