@@ -186,6 +186,11 @@ def shade_pixels(
             )
             keep = ~((h_disp > 0.5) & oob)
 
+        # (Round-5 negative result: collapsing untextured-material pixels'
+        # uv to 0 so their gather rows coalesce changed pbr_textured_f32 by
+        # <2% — the big-table gather is not working-set-bound at this
+        # scene's footprint mix, so the extra masking was dropped.)
+
         # Screen-space mip LOD (default ON for textured scenes with a baked
         # pyramid): derivative-based level selection, the anti-aliasing the
         # reference's 1-mip textures can't do (WICTextureLoader.h:78 — pass
@@ -526,7 +531,7 @@ def render(
             height=height,
             rows=rows,
             y_offset=y_offset,
-            tile_h=tile_h if tile_h is not None else 4,
+            tile_h=tile_h if tile_h is not None else (8 if row_layout else 4),
             tile_w=tile_w,
             max_span=(64 if span_wide else 16) * ms_scale,
             big_cap=bin_big_cap,
@@ -619,7 +624,7 @@ def render(
             height=height,
             rows=rows,
             y_offset=y_offset,
-            tile_h=tile_h if tile_h is not None else 4,
+            tile_h=tile_h if tile_h is not None else (8 if row_layout else 4),
             tile_w=tile_w,
             max_span=(64 if span_wide else 16) * ms_scale,
             big_cap=bin_big_cap,
@@ -1088,7 +1093,8 @@ def check_raster_capacity(
             and scene.ibl is not None
             and not scene.materials.any_alpha_test
         )
-        tile_h = 4 if (fused_shade or fused_ibl) else 16
+        # Row-layout fused kernels (the TPU auto default) bin at 8-row tiles
+        tile_h = 8 if (fused_shade or fused_ibl) else 16
         max_span = 64 if span_wide else (16 if (fused_shade or fused_ibl) else 8)
     else:
         max_span = 64 if span_wide else 8

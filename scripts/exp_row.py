@@ -93,6 +93,14 @@ def run(which):
         kw = dict(kw, sparse_max=127)
     if "smax0" in which:
         kw = dict(kw, sparse_max=0)
+    th = 4
+    if "th2" in which:
+        th = 2
+    if "th16" in which:
+        th = 16
+    if "th8" in which:
+        th = 8
+    bkw = dict(bkw, tile_h=th)
 
     impl = (
         raster_row.rasterize_binned_shade_row
@@ -113,7 +121,7 @@ def run(which):
             scene.ambient,
             cam_pos,
             sh9,
-            tile_h=4,
+            tile_h=bkw.get("tile_h", 4),
             max_span=bkw.get("max_span", 16),
             big2_span=bkw.get("big2_span", 0),
             big2_cap=bkw.get("big2_cap", None),
