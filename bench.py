@@ -118,10 +118,11 @@ def time_sharded_overhead(scene, camera, iters=ITERS):
 
 def time_tri_sharded_overhead(scene, camera, iters=ITERS):
     """Single-chip triangle-sharded render vs plain render — the primitive-
-    parallel (ring/sequence-parallel analog) overhead proxy. The tri path
-    pays for its structure (id-only raster + ring attribute interpolation +
-    fused shading) even at n=1; this ratio tracks how close that structure
-    sits to the fully-fused single-chip fast path."""
+    parallel (ring/sequence-parallel analog) overhead proxy. The default
+    band reduce-scatter merge rasters each band through the row-layout
+    G-buffer kernel and shades through the fused shading kernel, so at n=1
+    the structure is ~the single-chip fast path (measured 0.98×; the old
+    id-merge + re-interpolation structure measured 4.61×)."""
     from physically_based_renderer_tpu.parallel import sharded
     from physically_based_renderer_tpu.renderer import render
 

@@ -174,7 +174,7 @@ def render_tri_sharded(
     mesh: Mesh,
     width: int,
     height: int,
-    merge: str = "ring",
+    merge: str = "band",
     raster_backend: str = "auto",
     **render_kwargs: Any,
 ) -> jnp.ndarray:
@@ -185,14 +185,25 @@ def render_tri_sharded(
     MEMORY-SHARDED: the corner-major geometry (clip positions, interpolation
     attributes, face materials) is partitioned P(tris) across the mesh —
     per-chip triangle storage is O(T/N), the reason primitive parallelism
-    exists (triangle count ≫ per-chip memory). Each device rasterizes the
-    full frame against only its shard (through the Pallas kernel on TPU);
-    the per-device (depth, id) buffers then merge to a global
-    hard-visibility resolve by either
+    exists (triangle count ≫ per-chip memory). Merge strategies:
 
-      * ``merge="ring"`` — N−1 ``ppermute`` steps passing (z, id) around the
-        ICI ring with a running elementwise min-by-depth (streaming, O(HW)
-        memory — the ring-attention pattern), or
+      * ``merge="band"`` (default) — a REDUCE-SCATTER ring over row bands:
+        at step k, device i rasterizes band (i+k+1) mod N of the frame
+        against its OWN shard straight into a G-buffer (the fused row-layout
+        raster+interp kernel on TPU), merges it min-by-depth into the
+        traveling (z, attrs, id, mat) band buffer, and passes the buffer one
+        hop down the ICI ring; after N steps every device holds its own
+        band fully resolved from ALL shards and shades it through the same
+        fused shading kernel as the row-band DP path. No id-only pass, no
+        post-merge re-interpolation — the closest structure to the
+        single-chip fast path (ring-attention with bands as queries and
+        triangle shards as keys/values, the G-buffer merge as the online
+        reduce).
+      * ``merge="ring"`` — full-frame id raster per shard, then N−1
+        ``ppermute`` steps with a running elementwise min-by-depth on
+        (z, id), then an N-step ring ATTRIBUTE exchange re-interpolates the
+        winners (kept for comparison; 2 ring passes + an XLA gather
+        interpolation).
       * ``merge="allgather"`` — one all_gather + argmin over the device axis
         (simpler, N× memory).
 
@@ -248,6 +259,76 @@ def render_tri_sharded(
         start = i * shard
         local_idx = start + jnp.arange(shard, dtype=jnp.int32)
         local_valid = local_idx < num_t
+
+        if merge == "band":
+            # Band reduce-scatter (docstring above). Shard-pad triangles are
+            # all-zero rows → zero-area → culled by raster setup, so no
+            # tri_mask is needed on the kernel path.
+            nm = scene_rep.materials.num_materials
+            c_attrs = attrs_loc.shape[-1]
+            buf_z = jnp.full((band, width), jnp.inf, jnp.float32)
+            buf_attrs = jnp.zeros((band, width, c_attrs), jnp.float32)
+            buf_tid = jnp.full((band, width), -1, jnp.int32)
+            buf_mat = jnp.zeros((band, width), jnp.int32)
+            perm_down = [(j, (j - 1) % n) for j in range(n)]
+            for k in range(n):
+                b = (i + k + 1) % n
+                y0 = b * band
+                if backend == "pallas":
+                    a_k, z_k, t_k, m_k = raster_pallas.raster_gbuffer(
+                        clip_loc,
+                        attrs_loc,
+                        None,
+                        fm_loc,
+                        width=width,
+                        height=height,
+                        rows=band,
+                        y_offset=y0,
+                        tile_h=8,
+                        max_span=16,
+                        num_materials=nm,
+                        row_layout=True,
+                        **render_kwargs,
+                    )
+                else:
+                    t_k = raster.rasterize(
+                        clip_loc,
+                        None,
+                        width=width,
+                        height=height,
+                        rows=band,
+                        y_offset=y0,
+                        tri_mask=local_valid,
+                        **render_kwargs,
+                    )
+                    a_k, z_k, _m = raster.interpolate_corners(
+                        attrs_loc, clip_loc, t_k,
+                        width=width, height=height, y_offset=y0,
+                    )
+                    m_k = fm_loc[jnp.maximum(t_k, 0)]
+                hit_k = t_k >= 0
+                z_k = jnp.where(hit_k, z_k, jnp.inf)
+                take = z_k < buf_z
+                buf_z = jnp.where(take, z_k, buf_z)
+                buf_attrs = jnp.where(take[..., None], a_k, buf_attrs)
+                buf_tid = jnp.where(take, jnp.where(hit_k, t_k + start, -1), buf_tid)
+                buf_mat = jnp.where(take, m_k, buf_mat)
+                if k < n - 1:
+                    buf_z = jax.lax.ppermute(buf_z, TRIS_AXIS, perm_down)
+                    buf_attrs = jax.lax.ppermute(buf_attrs, TRIS_AXIS, perm_down)
+                    buf_tid = jax.lax.ppermute(buf_tid, TRIS_AXIS, perm_down)
+                    buf_mat = jax.lax.ppermute(buf_mat, TRIS_AXIS, perm_down)
+            return shade_compose_band_attrs(
+                scene_rep,
+                cam_rep,
+                buf_attrs,
+                buf_tid >= 0,
+                buf_mat,
+                width=width,
+                height=height,
+                y_offset=i * band,
+                apply_tonemap=True,
+            )
 
         if backend == "pallas":
             tid_local, _mat, z_local = raster_pallas.rasterize_binned(

@@ -84,7 +84,7 @@ def test_tri_sharded_matches_single_device():
     mesh = sharded.make_tri_mesh()
     import functools
 
-    for merge in ("ring", "allgather"):
+    for merge in ("band", "ring", "allgather"):
         fn = jax.jit(
             functools.partial(
                 sharded.render_tri_sharded, mesh=mesh, width=W, height=H, merge=merge
